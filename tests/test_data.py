@@ -1,0 +1,265 @@
+"""Data-plane tests: region mapping, scaler parity vs sklearn, tokenizer
+parity vs HF BertTokenizer, dataset pipeline, batching/prefetch."""
+
+import numpy as np
+import pytest
+
+from imagined_speech_translation_tpu.config import DataConfig, AugmentationConfig
+from imagined_speech_translation_tpu.data import (
+    ChineseCharTokenizer,
+    ChiscoCorpus,
+    EEGTextDataset,
+    RegionSpec,
+    batch_iterator,
+    build_region_indices,
+    device_prefetch,
+    make_synthetic_corpus,
+    make_synthetic_montage,
+    split_indices,
+)
+from imagined_speech_translation_tpu.data.chisco import clean_eeg, validate_sample
+from imagined_speech_translation_tpu.data.regions import ELECTRODE_REGIONS, load_montage
+from imagined_speech_translation_tpu.data.scaler import RegionRobustScaler
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+TINY_VOCAB = (
+    ["[PAD]"]
+    + [f"[unused{i}]" for i in range(99)]
+    + ["[UNK]", "[CLS]", "[SEP]", "[MASK]", "[EOS]"]
+    + list("我想喝水请帮打开窗户今天气很好需要休息一下谢的助们去公园散步把音乐关掉晚饭吃什么数据样本")
+    + ["hello", "##llo", "he", "world", ",", "。"]
+)
+
+
+def tiny_tokenizer():
+    # ids: PAD=0, UNK=100, CLS=101, SEP=102, MASK=103, EOS=104 — mirrors the
+    # fnlp/bart-base-chinese key ids (pad=0, bos=101, eos=104).
+    vocab = list(dict.fromkeys(TINY_VOCAB))
+    tok = ChineseCharTokenizer(vocab, unk_token="[UNK]", eos_token="[EOS]")
+    assert tok.pad_token_id == 0 and tok.bos_token_id == 101
+    return tok
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("chisco")
+    make_synthetic_corpus(d / "data", n_files=3, samples_per_file=4, n_timepoints=256)
+    make_synthetic_montage(d / "montage.csv")
+    return d
+
+
+# ---------------------------------------------------------------------------
+# regions
+# ---------------------------------------------------------------------------
+
+
+def test_region_counts_match_reference():
+    counts = {r: len(v) for r, v in ELECTRODE_REGIONS.items()}
+    assert counts == {"frontal": 16, "temporal": 9, "central": 11, "parietal": 12}
+    assert sum(counts.values()) == 48
+
+
+def test_region_spec_stack_roundtrip(corpus_dir):
+    labels = load_montage(corpus_dir / "montage.csv")
+    spec = RegionSpec.from_channel_names(labels)
+    assert spec.counts == (16, 9, 11, 12)
+    assert spec.max_channels == 16
+    eeg = np.random.default_rng(0).normal(size=(125, 64)).astype(np.float32)
+    stacked = spec.stack(eeg)
+    assert stacked.shape == (4, 16, 64)
+    # padded slots are exactly zero
+    assert np.all(stacked[~spec.channel_mask] == 0)
+    # unstack recovers the ragged regions
+    regions = spec.split(stacked)
+    idx = build_region_indices(labels)
+    for r, name in enumerate(spec.region_names):
+        np.testing.assert_array_equal(regions[r], eeg[idx[name]])
+
+
+# ---------------------------------------------------------------------------
+# scaler parity vs sklearn
+# ---------------------------------------------------------------------------
+
+
+def test_robust_scaler_matches_sklearn():
+    from sklearn.preprocessing import RobustScaler
+
+    rng = np.random.default_rng(1)
+    n, r, c, t = 7, 4, 16, 50
+    mask = np.zeros((r, c), bool)
+    for i, cnt in enumerate((16, 9, 11, 12)):
+        mask[i, :cnt] = True
+    samples = rng.normal(2.0, 3.0, (n, r, c, t)).astype(np.float32)
+    samples = np.where(mask[None, :, :, None], samples, 0.0)
+
+    ours = RegionRobustScaler(quantile_range=(5.0, 95.0)).fit(samples, mask)
+    out = ours.transform(samples[0])
+
+    for ri in range(r):
+        cnt = int(mask[ri].sum())
+        # reference fit distribution: (N*T, C) observations per region
+        obs = np.moveaxis(samples[:, ri, :cnt, :], 0, 1).reshape(cnt, n * t).T
+        sk = RobustScaler(quantile_range=(5.0, 95.0)).fit(obs)
+        np.testing.assert_allclose(ours.center_[ri, :cnt], sk.center_, rtol=1e-5)
+        np.testing.assert_allclose(ours.scale_[ri, :cnt], sk.scale_, rtol=1e-5)
+        ref = sk.transform(samples[0, ri, :cnt].T).T
+        np.testing.assert_allclose(out[ri, :cnt], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_scaler_zero_scale_channels():
+    mask = np.ones((1, 2), bool)
+    samples = np.zeros((3, 1, 2, 10), np.float32)
+    samples[:, 0, 1] = 5.0  # constant nonzero channel
+    sc = RegionRobustScaler().fit(samples, mask)
+    out = sc.transform(samples[0])
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(sc.scale_[0], [1.0, 1.0])
+
+
+def test_scaler_save_load(tmp_path):
+    mask = np.ones((2, 3), bool)
+    samples = np.random.default_rng(0).normal(size=(4, 2, 3, 8)).astype(np.float32)
+    sc = RegionRobustScaler().fit(samples, mask)
+    sc.save(tmp_path / "sc.json")
+    sc2 = RegionRobustScaler.load(tmp_path / "sc.json")
+    np.testing.assert_allclose(sc.transform(samples[1]), sc2.transform(samples[1]))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer parity vs HF BertTokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_matches_hf_bert(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    vocab = list(dict.fromkeys(TINY_VOCAB))
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+    hf = transformers.BertTokenizer(str(vf), do_lower_case=True)
+    ours = ChineseCharTokenizer(vocab, eos_token="[EOS]")
+
+    texts = [
+        "我想喝水",
+        "请帮我打开窗户",
+        "hello world",
+        "Hello, 我想喝水。",
+        "unknownword 喝水",
+        "",
+    ]
+    for text in texts:
+        if not text:
+            continue
+        assert ours.tokenize(text) == hf.tokenize(text), text
+        enc = hf(
+            text, max_length=16, padding="max_length", truncation=True,
+            add_special_tokens=True,
+        )
+        got = ours.encode(text, max_length=16)
+        assert got["input_ids"].tolist() == enc["input_ids"], text
+        assert got["attention_mask"].tolist() == enc["attention_mask"], text
+
+
+def test_encode_for_seq2seq_semantics():
+    tok = tiny_tokenizer()
+    out = tok.encode_for_seq2seq("我想喝水", max_length=8)
+    ids = tok.encode("我想喝水", max_length=8)["input_ids"]
+    # decoder input = [bos] + input_ids[:-1] (reference dataset.py:470-473)
+    assert out["decoder_input_ids"][0] == tok.bos_token_id
+    np.testing.assert_array_equal(out["decoder_input_ids"][1:], ids[:-1])
+    # labels: pad -> -100
+    assert (out["labels"][ids == tok.pad_token_id] == -100).all()
+    # empty text falls back to the reference default text
+    out2 = tok.encode_for_seq2seq("", max_length=8)
+    assert out2["attention_mask"].sum() > 2
+
+
+def test_tokenizer_decode_roundtrip():
+    tok = tiny_tokenizer()
+    enc = tok.encode("我想喝水", max_length=16)
+    assert tok.decode(enc["input_ids"]) == "我想喝水"
+
+
+# ---------------------------------------------------------------------------
+# corpus + dataset
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_index_and_validation(corpus_dir):
+    corpus = ChiscoCorpus(corpus_dir / "data")
+    assert len(corpus) == 12
+    s = corpus.get(0)
+    assert validate_sample(s)
+    assert clean_eeg(s["input_features"]).shape == (125, 256)
+    assert corpus.get(999) is None
+
+
+def test_validate_sample_rejects_bad_shapes():
+    assert not validate_sample({"input_features": np.zeros((1, 64, 10)), "text": "x"})
+    assert not validate_sample({"text": "x"})
+    assert not validate_sample([1, 2, 3])
+    assert validate_sample({"input_features": np.zeros((1, 125, 10)), "text": "x"})
+
+
+def test_dataset_end_to_end(corpus_dir):
+    cfg = DataConfig(n_timepoints=256, max_length=12)
+    ds = EEGTextDataset(
+        str(corpus_dir / "data"),
+        str(corpus_dir / "montage.csv"),
+        tiny_tokenizer(),
+        cfg,
+        augment=False,
+        seed=42,
+    )
+    assert len(ds) == 12
+    ex = ds.get(0)
+    assert ex.eeg.shape == (4, 16, 256)
+    assert ex.decoder_input_ids.shape == (12,)
+    assert np.isfinite(ex.eeg).all()
+    # padded channel slots stay zero post-normalization
+    assert np.all(ex.eeg[~ds.region_spec.channel_mask] == 0)
+    # deterministic
+    ex2 = ds.get(0)
+    np.testing.assert_array_equal(ex.eeg, ex2.eeg)
+
+
+def test_dataset_augmentation_reproducible(corpus_dir):
+    cfg = DataConfig(n_timepoints=256, max_length=12)
+    ds = EEGTextDataset(
+        str(corpus_dir / "data"), str(corpus_dir / "montage.csv"),
+        tiny_tokenizer(), cfg, augment=True, seed=42,
+    )
+    a = ds.get(1, epoch=0).eeg
+    b = ds.get(1, epoch=0).eeg
+    c = ds.get(1, epoch=1).eeg
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)  # different epoch -> different augmentation
+    assert np.all(a[~ds.region_spec.channel_mask] == 0)
+
+
+def test_split_indices_disjoint():
+    tr, va, te = split_indices(100, (0.8, 0.1, 0.1), seed=42)
+    assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+    assert len(set(tr) | set(va) | set(te)) == 100
+    tr2, _, _ = split_indices(100, (0.8, 0.1, 0.1), seed=42)
+    np.testing.assert_array_equal(tr, tr2)
+
+
+def test_batch_iterator_and_prefetch(corpus_dir):
+    cfg = DataConfig(n_timepoints=256, max_length=12)
+    ds = EEGTextDataset(
+        str(corpus_dir / "data"), str(corpus_dir / "montage.csv"),
+        tiny_tokenizer(), cfg, augment=False, seed=42,
+    )
+    batches = list(batch_iterator(ds, np.arange(10), 4, shuffle=True, seed=1))
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["eeg"].shape == (4, 4, 16, 256)
+    assert batches[0]["labels"].shape == (4, 12)
+
+    fed = list(device_prefetch(batch_iterator(ds, np.arange(10), 4), size=2))
+    assert len(fed) == 2
+    import jax
+
+    assert isinstance(fed[0]["eeg"], jax.Array)
