@@ -1,0 +1,74 @@
+"""Assembled EEG→text model (reference: ``main_model/src/models/eeg_model.py``).
+
+``BrainRegionEncoder`` → Linear+LayerNorm projection (``eeg_to_bart``,
+bart_decoder.py:24-27) → pseudo-encoder tiling → ``BartDecoderModel``.
+The forward returns logits (and optionally the fused EEG feature, which the
+composite anti-collapse loss consumes); the loss lives in ``training.losses``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from .bart import BartDecoderModel, pseudo_encoder_sequence
+from .brain_encoder import BrainRegionEncoder
+
+
+class EEGDecodingModel(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        self.brain_encoder = BrainRegionEncoder(self.cfg.brain_encoder)
+        self.eeg_to_bart_fc = nn.Dense(self.cfg.bart.d_model, name="eeg_to_bart_fc")
+        self.eeg_to_bart_ln = nn.LayerNorm(name="eeg_to_bart_ln")
+        self.bart = BartDecoderModel(self.cfg.bart)
+
+    # ------------------------------------------------------------------
+    def encode(self, eeg, channel_mask=None, *, train: bool = False):
+        """EEG → (fused feature (B, h), pseudo-encoder states (B, S, d))."""
+        feat = self.brain_encoder(eeg, channel_mask, train=train)
+        proj = self.eeg_to_bart_ln(self.eeg_to_bart_fc(feat))
+        enc = pseudo_encoder_sequence(proj, self.cfg.bart.encoder_layers)
+        return feat, enc
+
+    def __call__(
+        self,
+        eeg,
+        decoder_input_ids,
+        channel_mask=None,
+        *,
+        train: bool = False,
+        return_features: bool = False,
+    ):
+        feat, enc = self.encode(eeg, channel_mask, train=train)
+        mask = jnp.ones(enc.shape[:2], dtype=jnp.int32)
+        logits = self.bart(
+            decoder_input_ids, enc, mask, train=train
+        )
+        if return_features:
+            return logits, feat
+        return logits
+
+    # ------------------------------------------------------------------
+    def decode_step(self, token, positions, enc, caches, *, train: bool = False):
+        """One incremental decode step: ``token`` (B,1) → (logits (B,1,V), caches)."""
+        mask = jnp.ones(enc.shape[:2], dtype=jnp.int32)
+        return self.bart(
+            token, enc, mask, positions=positions, caches=caches, train=train
+        )
+
+    def init_cache(self, batch: int, max_length: int, dtype=jnp.float32):
+        # built from config (setup fields are unavailable outside apply)
+        bc = self.cfg.bart
+        hd = bc.d_model // bc.num_heads
+        return [
+            {
+                "k": jnp.zeros((batch, bc.num_heads, max_length, hd), dtype),
+                "v": jnp.zeros((batch, bc.num_heads, max_length, hd), dtype),
+                "index": 0,
+            }
+            for _ in range(bc.decoder_layers)
+        ]

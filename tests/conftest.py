@@ -4,13 +4,20 @@ multi-chip sharding (dp/tp meshes) is exercised without TPU hardware
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Force CPU even when the
+# session default points at a TPU backend — tests emulate a v5e-8 mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The TPU-tunnel site hook (sitecustomize) force-registers its backend and
+# overrides JAX_PLATFORMS; pin the platform at the config level too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
