@@ -137,6 +137,7 @@ class BartDecoderModel(nn.Module):
         positions: jax.Array | None = None,  # (B, L) int
         caches=None,
         train: bool = False,
+        return_hidden: bool = False,
     ):
         cfg = self.cfg
         det = not train
@@ -190,6 +191,7 @@ class BartDecoderModel(nn.Module):
             )
             new_caches.append(c)
 
+        hidden = x
         logits = shared.attend(x)
         if cfg.tie_word_embeddings:
             bias = self.param(
@@ -197,7 +199,7 @@ class BartDecoderModel(nn.Module):
             )
             logits = logits + bias
         if caches is None:
-            return logits
+            return (logits, hidden) if return_hidden else logits
         return logits, new_caches
 
     # ------------------------------------------------------------------

@@ -42,12 +42,16 @@ class EEGDecodingModel(nn.Module):
         *,
         train: bool = False,
         return_features: bool = False,
+        return_aux: bool = False,
     ):
         feat, enc = self.encode(eeg, channel_mask, train=train)
         mask = jnp.ones(enc.shape[:2], dtype=jnp.int32)
-        logits = self.bart(
-            decoder_input_ids, enc, mask, train=train
-        )
+        if return_aux:
+            logits, hidden = self.bart(
+                decoder_input_ids, enc, mask, train=train, return_hidden=True
+            )
+            return logits, {"features": feat, "hidden": hidden}
+        logits = self.bart(decoder_input_ids, enc, mask, train=train)
         if return_features:
             return logits, feat
         return logits

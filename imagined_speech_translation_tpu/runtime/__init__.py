@@ -1,0 +1,25 @@
+"""Serving runtime: wire protocol, command DSL, session registry, streaming
+wake→window→decode pipeline, websocket server.
+
+Reference: the Node/Dart serving stack (``wss/wss.js``,
+``dart_wss/lib/dart_wss.dart``, ``dart_wss/lib/parser.dart``) — re-designed
+around one Python asyncio service whose decode path is the jitted TPU
+program."""
+
+from .protocol import (  # noqa: F401
+    BinaryFrame,
+    TextFrame,
+    decode_binary_frame,
+    decode_text_frame,
+    encode_binary_frame,
+    encode_text_frame,
+)
+from .dsl import DslError, FunctionCall, Parser  # noqa: F401
+from .session import Session, SessionRegistry  # noqa: F401
+from .streaming import (  # noqa: F401
+    DecodePipeline,
+    LatencyStats,
+    RingBuffer,
+    ThresholdWakeGate,
+    Windower,
+)

@@ -1,0 +1,179 @@
+"""Jitted train/eval steps with gradient accumulation.
+
+Reference semantics (``main_model/src/training/trainer.py:69-151``): micro
+batches of 4 accumulated ×8 (effective 32), loss scaled by accumulation
+steps, clip-by-global-norm 1.0, one optimizer+scheduler step per
+accumulation window.  Here the whole window is one XLA program: a
+``lax.scan`` over the accumulation axis accumulates grads on device (no
+host round-trips), then clip + update.  Under ``pjit`` with a batch sharded
+over the ``data`` mesh axis, the mean over the global batch IS the
+cross-replica gradient reduction — no explicit psum needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from .losses import composite_loss, label_smoothed_ce
+from .train_state import TrainModule, TrainState
+
+
+def make_loss_fn(module: TrainModule, cfg: Config, bow_indices):
+    loss_cfg = cfg.training.loss
+    bow_indices = jnp.asarray(bow_indices, jnp.int32)
+
+    def loss_fn(params, batch_stats, micro_batch, rng, loss_weights):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (logits, aux), mutated = module.apply(
+            variables,
+            micro_batch["eeg"],
+            micro_batch["decoder_input_ids"],
+            micro_batch["channel_mask"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        labels = micro_batch["labels"]
+        if loss_cfg.composite:
+            def heads_apply(eeg_feat, text_feat):
+                return module.apply(
+                    {"params": params},
+                    eeg_feat,
+                    text_feat,
+                    method="loss_heads_apply",
+                )
+
+            total, comps = composite_loss(
+                logits=logits,
+                labels=labels,
+                eeg_feat=aux["features"],
+                decoder_hidden=aux["hidden"],
+                decoder_mask=micro_batch["attention_mask"],
+                heads_apply=heads_apply,
+                bow_indices=bow_indices,
+                weights=loss_weights,
+                cfg=loss_cfg,
+            )
+        else:
+            total, _ = label_smoothed_ce(logits, labels)
+            comps = {"loss_ce": total}
+        return total, (mutated["batch_stats"], comps)
+
+    return loss_fn
+
+
+def make_train_step(
+    module: TrainModule,
+    optimizer: optax.GradientTransformation,
+    cfg: Config,
+    bow_indices,
+) -> Callable:
+    """Returns ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    ``batch`` leaves are shaped ``(accum, micro_batch, ...)`` except
+    ``channel_mask`` which is shared."""
+    loss_fn = make_loss_fn(module, cfg, bow_indices)
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+    accum = cfg.training.grad_accum_steps
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        channel_mask = batch["channel_mask"]
+
+        def accum_body(carry, micro):
+            grads_acc, batch_stats, comps_acc, i = carry
+            micro = dict(micro, channel_mask=channel_mask)
+            step_rng = jax.random.fold_in(rng, i)
+            grads, (batch_stats, comps) = grad_fn(
+                state.params, batch_stats, micro, step_rng, state.loss_weights
+            )
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            comps_acc = jax.tree.map(jnp.add, comps_acc, comps)
+            return (grads_acc, batch_stats, comps_acc, i + 1), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        zero_comps = {
+            k: jnp.zeros((), jnp.float32)
+            for k in (
+                ("loss_ce", "loss_align", "loss_bow", "loss_div", "loss_var")
+                if cfg.training.loss.composite
+                else ("loss_ce",)
+            )
+        }
+        micro_batches = {
+            k: v for k, v in batch.items() if k != "channel_mask"
+        }
+        (grads, batch_stats, comps, _), _ = jax.lax.scan(
+            accum_body,
+            (zero_grads, state.batch_stats, zero_comps, jnp.int32(0)),
+            micro_batches,
+            length=accum,
+        )
+        grads = jax.tree.map(lambda g: g / accum, grads)
+        comps = jax.tree.map(lambda c: c / accum, comps)
+
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        w = state.loss_weights
+        total = sum(
+            w[k.removeprefix("loss_")] * v if k.removeprefix("loss_") in w else v
+            for k, v in comps.items()
+        )
+        metrics = dict(comps)
+        metrics["loss"] = total
+        metrics["grad_norm"] = grad_norm
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(module: TrainModule, cfg: Config, bow_indices) -> Callable:
+    """Teacher-forced validation loss (reference: trainer.py:173-177)."""
+    loss_cfg = cfg.training.loss
+    bow_indices = jnp.asarray(bow_indices, jnp.int32)
+
+    def eval_step(state: TrainState, batch: dict):
+        variables = state.variables()
+        (logits, aux) = module.apply(
+            variables,
+            batch["eeg"],
+            batch["decoder_input_ids"],
+            batch["channel_mask"],
+            train=False,
+        )
+        if loss_cfg.composite:
+            def heads_apply(eeg_feat, text_feat):
+                return module.apply(
+                    {"params": state.params}, eeg_feat, text_feat,
+                    method="loss_heads_apply",
+                )
+
+            total, comps = composite_loss(
+                logits=logits,
+                labels=batch["labels"],
+                eeg_feat=aux["features"],
+                decoder_hidden=aux["hidden"],
+                decoder_mask=batch["attention_mask"],
+                heads_apply=heads_apply,
+                bow_indices=bow_indices,
+                weights=state.loss_weights,
+                cfg=loss_cfg,
+            )
+        else:
+            total, _ = label_smoothed_ce(logits, batch["labels"])
+            comps = {"loss_ce": total}
+        return dict(comps, loss=total)
+
+    return eval_step

@@ -1,0 +1,345 @@
+"""Trainer loop: epochs of accumulated train steps, beam-decode evaluation,
+BLEU/diversity model selection, collapse tracking, checkpointing.
+
+Reference behaviors reproduced (``main_model/src/training/trainer.py``):
+
+* epoch loop with per-window optimizer steps and loss logging (``:69-151``);
+* evaluation = teacher-forced val loss + beam-3 generation + jieba/BLEU/ROUGE
+  metrics + unique-prediction diversity (``:153-212``, ``_compute_metrics``);
+* model selection: BLEU-4 improvement gated on diversity ≥ 0.3, secondary
+  path when diversity improves +0.1 with BLEU ≥ 90% of best (``:462-479``);
+* repetitive-collapse tolerance counter (``:400-443``), early stop on
+  patience (``:446-448``);
+* checkpoints: best / every-N-epochs / on-interrupt (``:429-453``,
+  scripts/train.py:365-368);
+* adaptive loss-weight scheduling from validation diversity
+  (``_update_diversity_tracking``, ``:254-279``) — fed back into the jitted
+  step as traced weights (no recompilation).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..decode import DecodeParams, build_generate_fn
+from ..evaluation import ChineseEvaluator, prediction_diversity
+from ..models.eeg_model import EEGDecodingModel
+from ..utils.metrics import MetricLogger, NullLogger
+from .checkpoint import CheckpointManager
+from .losses import AdaptiveLossScheduler
+from .optimizer import build_optimizer, learning_rates_at
+from .train_state import TrainModule, TrainState, create_train_state
+from .train_step import make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+class EEGTrainer:
+    def __init__(
+        self,
+        cfg: Config,
+        dataset,
+        tokenizer,
+        *,
+        bow_indices,
+        train_indices,
+        val_indices,
+        metric_logger: MetricLogger | None = None,
+        checkpoint_dir: str | None = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.bow_indices = np.asarray(bow_indices, np.int32)
+        self.train_indices = np.asarray(train_indices)
+        self.val_indices = np.asarray(val_indices)
+        self.mlog = metric_logger or NullLogger()
+        self.mesh = mesh
+
+        tc = cfg.training
+        self.module = TrainModule(cfg, bow_k=len(self.bow_indices))
+        steps_per_epoch = max(
+            len(self.train_indices) // (tc.batch_size * tc.grad_accum_steps), 1
+        )
+        self.total_steps = steps_per_epoch * tc.num_epochs
+        self.steps_per_epoch = steps_per_epoch
+        self.optimizer = None  # built in init_state (needs params for labels)
+
+        self.evaluator = ChineseEvaluator()
+        self.adaptive = (
+            AdaptiveLossScheduler(tc.loss) if tc.loss.adaptive else None
+        )
+        self.ckpt = CheckpointManager(
+            checkpoint_dir or tc.checkpoint.directory,
+            max_epoch_keep=tc.checkpoint.max_to_keep,
+        )
+
+        gen_cfg = cfg.generation
+        bart = cfg.model.bart
+        self.decode_params = DecodeParams(
+            max_length=gen_cfg.max_length,
+            min_length=gen_cfg.min_length,
+            num_beams=gen_cfg.num_beams,
+            length_penalty=gen_cfg.length_penalty,
+            early_stopping=gen_cfg.early_stopping,
+            pad_token_id=bart.pad_token_id,
+            eos_token_id=bart.eos_token_id,
+            decoder_start_token_id=bart.decoder_start_token_id,
+        )
+        self._eeg_model = EEGDecodingModel(cfg.model)
+        self._generate = build_generate_fn(self._eeg_model, self.decode_params)
+
+        # host-side training state
+        self.best_bleu4 = 0.0
+        self.best_diversity = 0.0
+        self.patience_counter = 0
+        self.consecutive_repetitive = 0
+        self.start_epoch = 0
+
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> TrainState:
+        tc = self.cfg.training
+        sample = self.dataset.get_batch(self.train_indices[: tc.batch_size])
+        init_weights = (
+            self.adaptive.get_weights()
+            if self.adaptive
+            else AdaptiveLossScheduler(tc.loss).initial_weights()
+        )
+        # optimizer labels need the param structure — initialize params first
+        module = self.module
+        params_probe = jax.eval_shape(
+            lambda r: module.init(
+                r,
+                jnp.asarray(sample["eeg"]),
+                jnp.asarray(sample["decoder_input_ids"]),
+                jnp.asarray(sample["channel_mask"]),
+                method="init_all",
+            ),
+            rng,
+        )["params"]
+        self.optimizer = build_optimizer(
+            params_probe, tc.optimizer, self.total_steps
+        )
+        state = create_train_state(
+            module, rng, sample, self.optimizer, init_weights
+        )
+        self._train_step = jax.jit(
+            make_train_step(module, self.optimizer, self.cfg, self.bow_indices)
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(module, self.cfg, self.bow_indices)
+        )
+        return state
+
+    # ------------------------------------------------------------------
+    def _train_batches(self, epoch: int) -> Iterable[dict]:
+        """Accumulation-window batches shaped (accum, micro, ...)."""
+        tc = self.cfg.training
+        rng = np.random.default_rng((tc.seed, epoch))
+        idx = rng.permutation(self.train_indices)
+        window = tc.batch_size * tc.grad_accum_steps
+        n_windows = len(idx) // window
+        for w in range(n_windows):
+            chunk = idx[w * window : (w + 1) * window]
+            batch = self.dataset.get_batch(chunk, epoch=epoch)
+            out = {}
+            for k, v in batch.items():
+                if k == "channel_mask":
+                    out[k] = v
+                else:
+                    out[k] = v.reshape(
+                        (tc.grad_accum_steps, tc.batch_size) + v.shape[1:]
+                    )
+            yield out
+
+    def train_epoch(self, state: TrainState, epoch: int) -> tuple[TrainState, float]:
+        tc = self.cfg.training
+        losses = []
+        t0 = time.time()
+        rng = jax.random.key(tc.seed + 1000 + epoch)
+        for step, batch in enumerate(self._train_batches(epoch)):
+            step_rng = jax.random.fold_in(rng, step)
+            state, metrics = self._train_step(state, batch, step_rng)
+            if step % max(tc.log_every_steps, 1) == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                lrs = learning_rates_at(
+                    tc.optimizer, self.total_steps, int(state.step)
+                )
+                self.mlog.log(
+                    {
+                        "train/loss": m["loss"],
+                        **{f"train/{k}": v for k, v in m.items() if k != "loss"},
+                        "train/lr": lrs["encoder"],
+                        **{f"train/lr_{g}": v for g, v in lrs.items()},
+                    },
+                    step=int(state.step),
+                )
+            losses.append(float(metrics["loss"]))
+        avg = float(np.mean(losses)) if losses else float("inf")
+        dt = time.time() - t0
+        n_samples = len(losses) * tc.batch_size * tc.grad_accum_steps
+        self.mlog.log(
+            {
+                "train/epoch_loss": avg,
+                "train/samples_per_sec": n_samples / dt if dt > 0 else 0.0,
+                "epoch": epoch,
+            }
+        )
+        logger.info("Epoch %d - avg loss %.4f (%.1f samples/s)", epoch + 1, avg,
+                    n_samples / dt if dt > 0 else 0.0)
+        return state, avg
+
+    # ------------------------------------------------------------------
+    def evaluate(self, state: TrainState, *, epoch: int = 0) -> dict:
+        tc = self.cfg.training
+        eval_bs = tc.eval_batch_size
+        losses, n = [], 0
+        predictions, targets = [], []
+        model_vars = state.model_variables()
+        for start in range(0, len(self.val_indices), eval_bs):
+            chunk = self.val_indices[start : start + eval_bs]
+            if len(chunk) < eval_bs:
+                break  # static shapes; tail dropped like drop_last
+            batch = self.dataset.get_batch(chunk)
+            comps = self._eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+            losses.append(float(comps["loss"]) * len(chunk))
+            n += len(chunk)
+            gen = self._generate(
+                model_vars,
+                jnp.asarray(batch["eeg"]),
+                jnp.asarray(batch["channel_mask"]),
+            )
+            predictions.extend(
+                t.strip() for t in self.tokenizer.batch_decode(np.asarray(gen))
+            )
+            for row in batch["labels"]:
+                ids = row[row != -100]
+                targets.append(self.tokenizer.decode(ids).strip())
+        metrics = {"val_loss": (sum(losses) / n) if n else float("inf")}
+        metrics.update(self.evaluator.compute_all_metrics(predictions, targets))
+        metrics.update(
+            prediction_diversity(predictions, min_diversity=tc.min_diversity)
+        )
+        metrics["predictions"] = predictions[:10]
+        metrics["targets"] = targets[:10]
+        return metrics
+
+    # ------------------------------------------------------------------
+    def check_improvement(self, bleu4: float, diversity: float, is_repetitive: bool) -> bool:
+        tc = self.cfg.training
+        if is_repetitive:
+            return False
+        if bleu4 > self.best_bleu4 and diversity >= tc.min_diversity:
+            self.best_bleu4 = bleu4
+            self.best_diversity = max(self.best_diversity, diversity)
+            return True
+        if (
+            diversity > self.best_diversity + tc.diversity_improvement
+            and bleu4 > self.best_bleu4 * tc.bleu_tolerance_frac
+        ):
+            self.best_diversity = diversity
+            return True
+        return False
+
+    def _meta(self, epoch: int, metrics: dict) -> dict:
+        return {
+            "epoch": epoch,
+            "best_bleu4": self.best_bleu4,
+            "best_diversity": self.best_diversity,
+            "metrics": {
+                k: v for k, v in metrics.items()
+                if not isinstance(v, (list, tuple))
+            },
+            "adaptive": self.adaptive.state_dict() if self.adaptive else None,
+            "config": self.cfg.to_dict(),
+        }
+
+    def resume(self, state: TrainState, name: str | None = None) -> TrainState:
+        name = name or self.ckpt.latest_epoch_checkpoint()
+        if name is None or not self.ckpt.exists(name):
+            return state
+        state, meta = self.ckpt.restore(name, state)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_bleu4 = meta.get("best_bleu4", 0.0)
+        self.best_diversity = meta.get("best_diversity", 0.0)
+        if self.adaptive and meta.get("adaptive"):
+            self.adaptive.load_state_dict(meta["adaptive"])
+            state = state.replace(
+                loss_weights={
+                    k: jnp.float32(v) for k, v in self.adaptive.get_weights().items()
+                }
+            )
+        logger.info("Resumed from %s at epoch %d", name, self.start_epoch)
+        return state
+
+    # ------------------------------------------------------------------
+    def train(self, state: TrainState) -> tuple[TrainState, float]:
+        tc = self.cfg.training
+        try:
+            for epoch in range(self.start_epoch, tc.num_epochs):
+                state, train_loss = self.train_epoch(state, epoch)
+                val = self.evaluate(state, epoch=epoch)
+                self.mlog.log(
+                    {
+                        **{
+                            f"val/{k}": v
+                            for k, v in val.items()
+                            if not isinstance(v, (list, tuple))
+                        },
+                        "epoch": epoch,
+                    }
+                )
+                bleu4 = val.get("bleu_4", 0.0)
+                diversity = val.get("diversity_score", 0.0)
+                repetitive = bool(val.get("is_repetitive", True))
+
+                if self.adaptive:
+                    comps = {
+                        k: val.get(k, 0.0)
+                        for k in ("loss_ce", "loss_align", "loss_bow",
+                                  "loss_div", "loss_var")
+                    }
+                    new_w = self.adaptive.update(comps, diversity)
+                    state = state.replace(
+                        loss_weights={k: jnp.float32(v) for k, v in new_w.items()}
+                    )
+                    self.mlog.log({f"weights/{k}": v for k, v in new_w.items()})
+
+                if self.check_improvement(bleu4, diversity, repetitive):
+                    self.ckpt.save_best(state, self._meta(epoch, val))
+                    logger.info(
+                        "New best model - BLEU-4 %.3f diversity %.3f", bleu4, diversity
+                    )
+                    self.patience_counter = 0
+                    self.consecutive_repetitive = 0
+                else:
+                    self.patience_counter += 1
+                    if repetitive:
+                        self.consecutive_repetitive += 1
+                if self.consecutive_repetitive >= tc.collapse_tolerance:
+                    logger.warning(
+                        "Repetitive generation for %d evals — consider adjusting "
+                        "loss weights or learning rates",
+                        self.consecutive_repetitive,
+                    )
+                if self.patience_counter >= tc.patience:
+                    logger.info("Early stopping at epoch %d", epoch + 1)
+                    break
+                if (epoch + 1) % tc.checkpoint.save_interval_epochs == 0:
+                    self.ckpt.save_epoch(state, epoch, self._meta(epoch, {}))
+        except KeyboardInterrupt:
+            self.ckpt.save_interrupted(state, self._meta(-1, {}))
+            logger.info("Interrupted — checkpoint saved")
+            raise
+        return state, self.best_bleu4

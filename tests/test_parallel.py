@@ -1,0 +1,133 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh: DP batch
+sharding, TP param sharding of the BART stack, numeric equivalence with the
+single-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagined_speech_translation_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    shard_train_state,
+    state_sharding_tree,
+)
+from imagined_speech_translation_tpu.parallel.mesh import shard_batch
+from imagined_speech_translation_tpu.training import (
+    AdaptiveLossScheduler,
+    TrainModule,
+    build_optimizer,
+    create_train_state,
+    get_top_k_vocab_indices,
+    make_train_step,
+)
+
+from tests.helpers import build_dataset, tiny_config, tiny_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory, eight_devices):
+    tok = tiny_tokenizer()
+    cfg = tiny_config(tok.vocab_size)
+    # batch big enough to shard over 4 data shards: micro batch 4
+    import dataclasses
+
+    cfg = cfg.replace(
+        training=dataclasses.replace(cfg.training, batch_size=4, grad_accum_steps=2)
+    )
+    ds = build_dataset(tmp_path_factory.mktemp("par_ds"), tok, cfg, n_files=2,
+                       samples_per_file=6)
+    bow = get_top_k_vocab_indices(tok, cfg.training.loss.bow_vocab_size)
+    module = TrainModule(cfg, bow_k=len(bow))
+    sample = ds.get_batch(np.arange(cfg.training.batch_size))
+    optimizer = build_optimizer(
+        jax.eval_shape(
+            lambda: module.init(
+                jax.random.key(0),
+                jnp.asarray(sample["eeg"]),
+                jnp.asarray(sample["decoder_input_ids"]),
+                jnp.asarray(sample["channel_mask"]),
+                method="init_all",
+            )
+        )["params"],
+        cfg.training.optimizer,
+        total_steps=10,
+    )
+    weights = AdaptiveLossScheduler(cfg.training.loss).initial_weights()
+    state = create_train_state(module, jax.random.key(0), sample, optimizer, weights)
+    tc = cfg.training
+    n = tc.batch_size * tc.grad_accum_steps
+    raw = ds.get_batch(np.arange(n))
+    batch = {}
+    for k, v in raw.items():
+        if k == "channel_mask":
+            batch[k] = jnp.asarray(v)
+        else:
+            batch[k] = jnp.asarray(
+                v.reshape((tc.grad_accum_steps, tc.batch_size) + v.shape[1:])
+            )
+    return cfg, module, optimizer, bow, state, batch
+
+
+def test_make_mesh_shapes(eight_devices):
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh2 = make_mesh(-1, 2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(-1, 3)
+
+
+def test_tp_sharding_rules(setup, eight_devices):
+    cfg, module, optimizer, bow, state, batch = setup
+    mesh = make_mesh(4, 2)
+    shardings = state_sharding_tree(state, mesh, tp=True)
+    fc1 = shardings.params["model"]["bart"]["layer0"]["fc1"]["kernel"]
+    assert fc1.spec == jax.sharding.PartitionSpec(None, "model")
+    fc2 = shardings.params["model"]["bart"]["layer0"]["fc2"]["kernel"]
+    assert fc2.spec == jax.sharding.PartitionSpec("model", None)
+    # optimizer moments mirror the rules
+    flat = jax.tree_util.tree_flatten_with_path(shardings.opt_state)[0]
+    specs = {
+        "/".join(str(k) for k in path): s for path, s in flat
+        if hasattr(s, "spec")
+    }
+    assert any(
+        "fc1" in p and s.spec == jax.sharding.PartitionSpec(None, "model")
+        for p, s in specs.items()
+    )
+
+
+def test_dp_tp_step_matches_single_device(setup, eight_devices):
+    cfg, module, optimizer, bow, state, batch = setup
+    step = make_train_step(module, optimizer, cfg, bow)
+    rng = jax.random.key(7)
+
+    # single device baseline
+    s1, m1 = jax.jit(step)(state, batch, rng)
+
+    # 4x2 mesh: data-sharded batch (micro axis), TP-sharded params
+    mesh = make_mesh(4, 2)
+    sharded_state = shard_train_state(state, mesh, tp=True)
+    sharded_batch = shard_batch(mesh, batch, batch_axis=1)
+    sharded_batch["channel_mask"] = batch["channel_mask"]
+    s2, m2 = jax.jit(step)(sharded_state, sharded_batch, rng)
+
+    assert np.isfinite(float(m2["loss"]))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=2e-4, atol=2e-4
+    )
+    # params after one step agree
+    a = np.asarray(jax.device_get(jax.tree_util.tree_leaves(s1.params)[0]))
+    b = np.asarray(jax.device_get(jax.tree_util.tree_leaves(s2.params)[0]))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_batch_sharding_specs(setup, eight_devices):
+    cfg, module, optimizer, bow, state, batch = setup
+    mesh = make_mesh(4, 2)
+    sh = batch_sharding(mesh, batch, batch_axis=1)
+    spec = tuple(sh["eeg"].spec)
+    assert spec[1] == "data" and all(s is None for s in spec[2:])
+    assert tuple(sh["channel_mask"].spec) == ()

@@ -1,0 +1,182 @@
+"""Training subsystem tests: losses, optimizer groups, train step with grad
+accumulation, adaptive scheduler, checkpoint roundtrip, trainer epoch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagined_speech_translation_tpu.training import (
+    AdaptiveLossScheduler,
+    CheckpointManager,
+    EEGTrainer,
+    TrainModule,
+    build_optimizer,
+    create_train_state,
+    get_top_k_vocab_indices,
+    label_smoothed_ce,
+    make_eval_step,
+    make_train_step,
+)
+from imagined_speech_translation_tpu.training.optimizer import learning_rates_at
+from imagined_speech_translation_tpu.utils.trees import tree_flatten_with_names
+
+from tests.helpers import build_dataset, tiny_config, tiny_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tok = tiny_tokenizer()
+    cfg = tiny_config(tok.vocab_size)
+    ds = build_dataset(tmp_path_factory.mktemp("train_ds"), tok, cfg)
+    bow = get_top_k_vocab_indices(tok, cfg.training.loss.bow_vocab_size)
+    module = TrainModule(cfg, bow_k=len(bow))
+    sample = ds.get_batch(np.arange(cfg.training.batch_size))
+    optimizer = build_optimizer(
+        jax.eval_shape(
+            lambda: module.init(
+                jax.random.key(0),
+                jnp.asarray(sample["eeg"]),
+                jnp.asarray(sample["decoder_input_ids"]),
+                jnp.asarray(sample["channel_mask"]),
+                method="init_all",
+            )
+        )["params"],
+        cfg.training.optimizer,
+        total_steps=10,
+    )
+    weights = AdaptiveLossScheduler(cfg.training.loss).initial_weights()
+    state = create_train_state(module, jax.random.key(0), sample, optimizer, weights)
+    return tok, cfg, ds, bow, module, optimizer, state
+
+
+def _window_batch(ds, cfg, idx0=0):
+    tc = cfg.training
+    n = tc.batch_size * tc.grad_accum_steps
+    batch = ds.get_batch(np.arange(idx0, idx0 + n))
+    out = {}
+    for k, v in batch.items():
+        if k == "channel_mask":
+            out[k] = jnp.asarray(v)
+        else:
+            out[k] = jnp.asarray(
+                v.reshape((tc.grad_accum_steps, tc.batch_size) + v.shape[1:])
+            )
+    return out
+
+
+def test_label_smoothed_ce_matches_plain():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 5, 11)), jnp.float32)
+    labels = jnp.asarray([[1, 2, 3, -100, -100], [4, 5, -100, -100, -100]])
+    plain, n = label_smoothed_ce(logits, labels, label_smoothing=0.0)
+    smooth, _ = label_smoothed_ce(logits, labels, label_smoothing=0.1)
+    assert n == 5
+    assert plain != smooth and jnp.isfinite(smooth)
+
+
+def test_optimizer_group_labels(setup):
+    _, cfg, _, _, module, _, state = setup
+    names = [n for n, _ in tree_flatten_with_names(state.params)]
+    assert any("brain_encoder" in n for n in names)
+    assert any("eeg_to_bart" in n for n in names)
+    assert any("/bart/" in n for n in names)
+    assert any("loss_heads" in n for n in names)
+    lrs = learning_rates_at(cfg.training.optimizer, 10, 5)
+    assert lrs["encoder"] > lrs["projection"] > lrs["bart"] > 0
+
+
+def test_train_step_reduces_loss(setup):
+    tok, cfg, ds, bow, module, optimizer, state = setup
+    step_fn = jax.jit(make_train_step(module, optimizer, cfg, bow))
+    batch = _window_batch(ds, cfg)
+    losses = []
+    s = state
+    for i in range(5):
+        s, metrics = step_fn(s, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        for k in ("loss_ce", "loss_align", "loss_bow", "loss_div", "loss_var"):
+            assert np.isfinite(float(metrics[k])), k
+    assert int(s.step) == 5
+    # same tiny batch 5x -> loss must drop
+    assert losses[-1] < losses[0]
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_eval_step(setup):
+    tok, cfg, ds, bow, module, optimizer, state = setup
+    eval_fn = jax.jit(make_eval_step(module, cfg, bow))
+    batch = ds.get_batch(np.arange(cfg.training.eval_batch_size))
+    out = eval_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_adaptive_scheduler_boost_and_relax():
+    cfg = tiny_config(200).training.loss
+    sched = AdaptiveLossScheduler(cfg)
+    w0 = sched.get_weights()
+    for _ in range(3):
+        w = sched.update({}, diversity=0.05)  # collapse
+    assert w["div"] > w0["div"] and w["ce"] < w0["ce"]
+    for _ in range(50):
+        w = sched.update({}, diversity=0.95)  # healthy -> relax toward init
+    assert abs(w["div"] - w0["div"]) < abs(sched.MAX_WEIGHTS["div"] - w0["div"])
+    # bounded
+    for _ in range(500):
+        w = sched.update({}, diversity=0.0)
+    assert w["div"] <= sched.MAX_WEIGHTS["div"] + 1e-9
+    assert w["ce"] >= sched.MIN_WEIGHTS["ce"] - 1e-9
+
+
+def test_get_top_k_vocab_indices():
+    tok = tiny_tokenizer()
+    ids = get_top_k_vocab_indices(tok, 8, texts=["我想喝水", "我想喝水", "今天天气很好"])
+    assert len(ids) == 8
+    assert tok.vocab["我"] in ids[:4]  # frequent tokens first
+    assert tok.pad_token_id not in ids
+    ids2 = get_top_k_vocab_indices(tok, 8)
+    assert len(ids2) == 8 and tok.pad_token_id not in ids2
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    tok, cfg, ds, bow, module, optimizer, state = setup
+    mgr = CheckpointManager(tmp_path / "ckpt", max_epoch_keep=2)
+    meta = {"epoch": 3, "best_bleu4": 1.5}
+    mgr.save_best(state, meta)
+    zeroed = jax.tree.map(jnp.zeros_like, state)
+    restored, m2 = mgr.restore("best_model", zeroed)
+    assert m2["epoch"] == 3
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # epoch GC keeps only the newest max_epoch_keep
+    for e in range(4):
+        mgr.save_epoch(state, e, meta)
+    names = sorted(p.name for p in (tmp_path / "ckpt").glob("checkpoint_epoch_*"))
+    assert names == ["checkpoint_epoch_3", "checkpoint_epoch_4"]
+    assert mgr.latest_epoch_checkpoint() == "checkpoint_epoch_4"
+
+
+def test_trainer_epoch_and_eval(tmp_path):
+    tok = tiny_tokenizer()
+    cfg = tiny_config(tok.vocab_size)
+    ds = build_dataset(tmp_path, tok, cfg, n_files=2, samples_per_file=6)
+    bow = get_top_k_vocab_indices(tok, cfg.training.loss.bow_vocab_size)
+    trainer = EEGTrainer(
+        cfg, ds, tok,
+        bow_indices=bow,
+        train_indices=np.arange(8),
+        val_indices=np.arange(8, 12),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    state = trainer.init_state(jax.random.key(0))
+    state, avg = trainer.train_epoch(state, epoch=0)
+    assert np.isfinite(avg)
+    metrics = trainer.evaluate(state)
+    assert "bleu_4" in metrics and "diversity_score" in metrics
+    assert len(metrics["predictions"]) > 0
+    assert np.isfinite(metrics["val_loss"])
+    # improvement logic
+    assert trainer.check_improvement(bleu4=10.0, diversity=0.5, is_repetitive=False)
+    assert not trainer.check_improvement(bleu4=20.0, diversity=0.5, is_repetitive=True)
+    assert trainer.best_bleu4 == 10.0
