@@ -70,7 +70,18 @@ def main():
         jnp.zeros((B, 4), jnp.int32),
         channel_mask,
     )
+    # bfloat16 inference: params + activations on the MXU fast path
+    if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
+        from imagined_speech_translation_tpu.utils.trees import cast_floating
+
+        variables = cast_floating(variables, jnp.bfloat16)
     generate = build_generate_fn(model, dp, jit=False)
+
+    compute_dtype = (
+        jnp.bfloat16
+        if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16"
+        else jnp.float32
+    )
 
     @jax.jit
     def window_to_tokens(variables, raw):
@@ -78,7 +89,7 @@ def main():
         clean = frontend.preprocess(raw)
         stacked = clean[:, gather.reshape(-1), :].reshape(raw.shape[0], 4, 16, T)
         stacked = jnp.where(channel_mask[None, :, :, None], stacked, 0.0)
-        return generate(variables, stacked, channel_mask)
+        return generate(variables, stacked.astype(compute_dtype), channel_mask)
 
     x = jnp.asarray(raw)
     # compile + warmup

@@ -35,7 +35,9 @@ def _jnp_attention(q, k, v, mask, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
-def _flash_available(q, k) -> bool:
+def _flash_available(q, k, mask) -> bool:
+    if mask is not None:  # the kernel is unmasked-only (encoder pattern)
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     *_, q_len, d = q.shape
@@ -61,7 +63,7 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        impl = "flash" if _flash_available(q, k) else "jnp"
+        impl = "flash" if _flash_available(q, k, mask) else "jnp"
     if impl == "flash":
         from .pallas_attention import flash_attention
 
