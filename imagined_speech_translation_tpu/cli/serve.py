@@ -1,0 +1,162 @@
+"""Serve the streaming EEG→text pipeline over websockets.
+
+The end-to-end product path (SURVEY.md §3.5): device streams EEG bytes →
+wake gate → windowed preprocess → TPU decode → text back to the client.
+Loads a trained checkpoint (or random weights with ``--random-init`` for
+smoke testing), builds the fused decode function, and runs the
+``runtime.server.WssService``.
+
+Usage::
+
+    python -m imagined_speech_translation_tpu.cli.serve \
+        --montage data/montage.csv --vocab vocab.txt \
+        [--checkpoint runs/.../best_model] [--port 4040] [--random-init]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import functools
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_decode_fn(cfg, tokenizer, region_spec, variables):
+    """(N, 48, T) raw windows → list[str], one fused jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode import DecodeParams, build_generate_fn
+    from ..frontend import SignalFrontend
+    from ..models import EEGDecodingModel
+
+    model = EEGDecodingModel(cfg.model)
+    frontend = SignalFrontend(cfg.frontend)
+    bart = cfg.model.bart
+    dp = DecodeParams(
+        max_length=cfg.generation.max_length,
+        min_length=cfg.generation.min_length,
+        num_beams=cfg.generation.num_beams,
+        pad_token_id=bart.pad_token_id,
+        eos_token_id=bart.eos_token_id,
+        decoder_start_token_id=bart.decoder_start_token_id,
+    )
+    generate = build_generate_fn(model, dp, jit=False)
+    gather = jnp.asarray(region_spec.gather_indices)
+    mask = jnp.asarray(region_spec.channel_mask)
+    R, C = mask.shape
+    T = cfg.data.n_timepoints
+
+    @jax.jit
+    def run(raw):
+        clean = frontend.preprocess(raw)
+        stacked = clean[:, gather.reshape(-1), :].reshape(raw.shape[0], R, C, T)
+        stacked = jnp.where(mask[None, :, :, None], stacked, 0.0)
+        return generate(variables, stacked, mask)
+
+    def decode_fn(windows: np.ndarray):
+        tokens = np.asarray(run(jnp.asarray(windows, jnp.float32)))
+        return [t.strip() for t in tokenizer.batch_decode(tokens)]
+
+    return decode_fn
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--montage", required=True)
+    ap.add_argument("--vocab", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=4040)
+    ap.add_argument("--window-hop", type=int, default=None)
+    ap.add_argument("--wake-threshold", type=float, default=0.0)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .train import load_config
+    from ..data import ChineseCharTokenizer
+    from ..data.regions import RegionSpec, load_montage
+    from ..models import EEGDecodingModel
+    from ..runtime import (
+        DecodePipeline,
+        RingBuffer,
+        SessionRegistry,
+        ThresholdWakeGate,
+        Windower,
+    )
+    from ..runtime.server import WssService
+    from ..config import replace_nested
+
+    cfg = load_config(args.config, None)
+    tokenizer = ChineseCharTokenizer.from_vocab_file(args.vocab)
+    if tokenizer.vocab_size != cfg.model.bart.vocab_size:
+        cfg = replace_nested(cfg, "model.bart.vocab_size", tokenizer.vocab_size)
+    spec = RegionSpec.from_channel_names(load_montage(args.montage))
+    T = cfg.data.n_timepoints
+
+    model = EEGDecodingModel(cfg.model)
+    B0 = 1
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((B0, len(spec.region_names), spec.max_channels, T), jnp.float32),
+        jnp.zeros((B0, 4), jnp.int32),
+        jnp.asarray(spec.channel_mask),
+    )
+    if args.checkpoint and not args.random_init:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(args.checkpoint)
+        # accept either bare model params or a full train-state tree
+        params = restored.get("params", restored)
+        if "model" in params:
+            params = params["model"]
+        variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        logger.info("loaded checkpoint %s", args.checkpoint)
+    else:
+        logger.warning("serving with random weights (smoke mode)")
+
+    decode_fn = build_decode_fn(cfg, tokenizer, spec, variables)
+
+    n_ch = spec.gather_indices.max() + 1  # raw montage channels expected
+
+    def pipeline_factory(key: str) -> DecodePipeline:
+        ring = RingBuffer(int(n_ch), capacity=4 * T)
+        hop = args.window_hop or T
+        gate = ThresholdWakeGate(args.wake_threshold) if args.wake_threshold else None
+        return DecodePipeline(
+            windower=Windower(ring, window=T, hop=hop),
+            decode_fn=decode_fn,
+            wake_gate=gate,
+            max_batch=1,
+        )
+
+    registry = SessionRegistry()
+
+    @registry.command("not_first_time")
+    async def not_first_time(session, a):
+        return {"first_time": False}
+
+    @registry.command("latency")
+    async def latency(session, a):
+        pipes = service._pipelines
+        return {k: p.latency.summary() for k, p in pipes.items()}
+
+    service = WssService(
+        registry, pipeline_factory=pipeline_factory, n_channels=int(n_ch)
+    )
+    logger.info("serving on %s:%d (window=%d, channels=%d)", args.host,
+                args.port, T, n_ch)
+    asyncio.run(service.serve(args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()

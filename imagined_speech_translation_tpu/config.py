@@ -107,6 +107,7 @@ class BrainEncoderConfig:
     enhancer_weight: float = 0.3
     disable_cross_region_attn: bool = False  # ablation flag
     uniform_region_weight: bool = False      # ablation flag
+    remat: bool = False               # jax.checkpoint the per-region encoders
     region_encoder: RegionEncoderConfig = field(default_factory=RegionEncoderConfig)
 
 

@@ -76,8 +76,13 @@ class BrainRegionEncoder(nn.Module):
         # ---- per-region encoders, vmapped over the region axis ----------
         # (B, R, C, T) -> (B, R, T, C) feature-last
         x_in = jnp.swapaxes(eeg, -1, -2)
+        EncoderCls = RegionConvAttentionEncoder
+        if cfg.remat:
+            # trade FLOPs for HBM: recompute region-encoder activations in
+            # the backward pass (the 1655-token attentions dominate memory)
+            EncoderCls = nn.remat(EncoderCls, static_argnums=(2,))
         VmappedEncoder = nn.vmap(
-            RegionConvAttentionEncoder,
+            EncoderCls,
             in_axes=(1, None),
             out_axes=1,
             variable_axes={"params": 0, "batch_stats": 0},

@@ -23,3 +23,6 @@ from .streaming import (  # noqa: F401
     ThresholdWakeGate,
     Windower,
 )
+from .services import ServiceBundle  # noqa: F401
+from .actions import DeviceChannel, UserActions, build_action_registry  # noqa: F401
+from .commands import build_command_registry, COMMAND_NAMES  # noqa: F401
