@@ -22,6 +22,10 @@ REFERENCE_SAMPLES_PER_SEC = 2.9
 
 def main():
     import jax
+
+    from imagined_speech_translation_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from imagined_speech_translation_tpu.config import default_config

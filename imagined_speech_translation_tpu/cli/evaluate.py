@@ -34,6 +34,7 @@ def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--montage", required=True)
+    ap.add_argument("--platform", default=None, help="jax platform override (cpu/tpu)")
     ap.add_argument("--vocab", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--config", default=None)
@@ -41,6 +42,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--split", choices=("val", "test", "train"), default="test")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from ..utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     cfg = load_config(args.config, args.overrides)
     tokenizer = ChineseCharTokenizer.from_vocab_file(args.vocab)

@@ -30,6 +30,9 @@ def build_decode_fn(cfg, tokenizer, region_spec, variables):
     import jax
     import jax.numpy as jnp
 
+    from ..utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from ..decode import DecodeParams, build_generate_fn
     from ..frontend import SignalFrontend
     from ..models import EEGDecodingModel
@@ -68,6 +71,7 @@ def build_decode_fn(cfg, tokenizer, region_spec, variables):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--montage", required=True)
+    ap.add_argument("--platform", default=None, help="jax platform override (cpu/tpu)")
     ap.add_argument("--vocab", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--config", default=None)
@@ -78,9 +82,16 @@ def main(argv=None):
     ap.add_argument("--wake-threshold", type=float, default=0.0)
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import jax
     import jax.numpy as jnp
+
+    from ..utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from .train import load_config
     from ..data import ChineseCharTokenizer

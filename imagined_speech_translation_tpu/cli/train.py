@@ -51,6 +51,7 @@ def main(argv=None) -> float:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--montage", required=True)
+    ap.add_argument("--platform", default=None, help="jax platform override (cpu/tpu)")
     ap.add_argument("--vocab", required=True, help="BERT-style vocab.txt")
     ap.add_argument("--config", default=None)
     ap.add_argument("--set", action="append", dest="overrides", metavar="PATH=VAL")
@@ -60,6 +61,8 @@ def main(argv=None) -> float:
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from ..utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     cfg = load_config(args.config, args.overrides)
     tc = cfg.training
 

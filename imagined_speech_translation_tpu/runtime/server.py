@@ -40,11 +40,14 @@ class WssService:
         *,
         pipeline_factory: Callable[[str], DecodePipeline] | None = None,
         n_channels: int = 48,
+        services=None,
     ):
         self.registry = registry
         self.pipeline_factory = pipeline_factory
         self.n_channels = n_channels
+        self.services = services
         self._pipelines: dict[str, DecodePipeline] = {}
+        self._actors: dict[str, tuple] = {}  # key -> (UserActions, Parser)
 
     # ------------------------------------------------------------------
     async def handle_text(self, message: str) -> str:
@@ -74,7 +77,42 @@ class WssService:
         if frame.command == "eeg_end":
             pipe = self._pipeline_for(frame.auth_key)
             return pipe.flush()
+        if frame.command in ("audio", "speech_to_text"):
+            # the conversational loop (SURVEY.md §3.5): device audio → STT →
+            # LLM → function-call DSL executed against the action registry
+            return await self._converse_audio(session, frame.payload)
         raise KeyError(f"unknown binary command {frame.command!r}")
+
+    async def _converse_audio(self, session, audio: bytes) -> list[str]:
+        if self.services is None:
+            raise RuntimeError("no service bundle configured for audio")
+        text = await self.services.stt.transcribe(audio)
+        return await self.converse_text(session, text)
+
+    async def converse_text(self, session, text: str) -> list[str]:
+        """Text → LLM → DSL program → executed actions; returns results."""
+        if self.services is None:
+            raise RuntimeError("no service bundle configured")
+        actions, parser = self._actor_for(session)
+        program = await actions.send_data(text)
+        try:
+            results = await parser.execute(program)
+        except Exception as e:
+            logger.warning("DSL execution failed: %s (program=%r)", e, program)
+            # graceful degradation: speak the raw LLM output
+            results = [await actions.speak(program)]
+        return [str(r) for r in results]
+
+    def _actor_for(self, session):
+        key = session.access_key
+        if key not in self._actors:
+            from .actions import UserActions, build_action_registry
+            from .dsl import Parser
+
+            actions = UserActions(self.services, user_id=session.user_id)
+            parser = Parser(build_action_registry(actions))
+            self._actors[key] = (actions, parser)
+        return self._actors[key]
 
     def _pipeline_for(self, key: str) -> DecodePipeline:
         if key not in self._pipelines:

@@ -209,21 +209,27 @@ class EEGTrainer:
         model_vars = state.model_variables()
         for start in range(0, len(self.val_indices), eval_bs):
             chunk = self.val_indices[start : start + eval_bs]
-            if len(chunk) < eval_bs:
-                break  # static shapes; tail dropped like drop_last
+            real = len(chunk)
+            if real < eval_bs:
+                # static shapes: pad the tail by repeating the last index and
+                # trim the outputs (no drop_last information loss)
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], eval_bs - real)]
+                )
             batch = self.dataset.get_batch(chunk)
             comps = self._eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
-            losses.append(float(comps["loss"]) * len(chunk))
-            n += len(chunk)
+            losses.append(float(comps["loss"]) * real)
+            n += real
             gen = self._generate(
                 model_vars,
                 jnp.asarray(batch["eeg"]),
                 jnp.asarray(batch["channel_mask"]),
             )
             predictions.extend(
-                t.strip() for t in self.tokenizer.batch_decode(np.asarray(gen))
+                t.strip()
+                for t in self.tokenizer.batch_decode(np.asarray(gen)[:real])
             )
-            for row in batch["labels"]:
+            for row in batch["labels"][:real]:
                 ids = row[row != -100]
                 targets.append(self.tokenizer.decode(ids).strip())
         metrics = {"val_loss": (sum(losses) / n) if n else float("inf")}

@@ -176,6 +176,11 @@ def test_trainer_epoch_and_eval(tmp_path):
     assert "bleu_4" in metrics and "diversity_score" in metrics
     assert len(metrics["predictions"]) > 0
     assert np.isfinite(metrics["val_loss"])
+    # odd-sized split exercises the pad-and-trim tail path
+    trainer.val_indices = np.arange(8, 11)  # 3 samples, eval_bs=2
+    m2 = trainer.evaluate(state)
+    assert np.isfinite(m2["val_loss"])
+    assert m2["total_predictions"] == 3
     # improvement logic
     assert trainer.check_improvement(bleu4=10.0, diversity=0.5, is_repetitive=False)
     assert not trainer.check_improvement(bleu4=20.0, diversity=0.5, is_repetitive=True)
