@@ -39,14 +39,14 @@ def build_decode_fn(cfg, tokenizer, region_spec, variables):
 
     model = EEGDecodingModel(cfg.model)
     frontend = SignalFrontend(cfg.frontend)
-    bart = cfg.model.bart
+    # decode ids from the tokenizer (the data contract; see trainer.py note)
     dp = DecodeParams(
         max_length=cfg.generation.max_length,
         min_length=cfg.generation.min_length,
         num_beams=cfg.generation.num_beams,
-        pad_token_id=bart.pad_token_id,
-        eos_token_id=bart.eos_token_id,
-        decoder_start_token_id=bart.decoder_start_token_id,
+        pad_token_id=tokenizer.pad_token_id,
+        eos_token_id=tokenizer.sep_token_id,
+        decoder_start_token_id=tokenizer.bos_token_id,
     )
     generate = build_generate_fn(model, dp, jit=False)
     gather = jnp.asarray(region_spec.gather_indices)

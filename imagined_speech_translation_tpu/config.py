@@ -90,6 +90,11 @@ class RegionEncoderConfig:
     temporal_pool_weight: float = 0.3  # CLS + 0.3*mean(temporal) (layers.py:254-258)
     diversity_weight: float = 0.1     # feat + 0.1*norm(diversity_head) (layers.py:127)
     cnn_only: bool = False            # ablation (layers.py:180-207)
+    # conv-stem normalization: "batch" (reference BatchNorm — exact under DP
+    # since the sharded-batch mean is global) or "group" (batch-independent,
+    # no running stats; SURVEY.md §7 hard part 5 parity flag)
+    norm: str = "batch"
+    groupnorm_groups: int = 8
 
 
 @_frozen()
@@ -134,7 +139,12 @@ class BartConfig:
     pad_token_id: int = 0
     bos_token_id: int = 101           # [CLS] in the Chinese BERT vocab
     eos_token_id: int = 104           # logged key IDs: pad=0, eos=104, bos=101
-    decoder_start_token_id: int = 102
+    # Training decoder inputs start with BOS (dataset.py:461 uses
+    # bos_token_id); generation must match or the first-step distribution is
+    # garbage.  The reference generates from the HF config's
+    # decoder_start_token_id instead — a silent train/eval mismatch; we pin
+    # both to BOS.
+    decoder_start_token_id: int = 101
     scale_embedding: bool = False
     tie_word_embeddings: bool = True
 

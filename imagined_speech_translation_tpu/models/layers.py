@@ -126,14 +126,26 @@ class MultiHeadAttention(nn.Module):
         return out
 
 
+def _make_norm(norm: str, gn_groups: int, det: bool, name: str):
+    if norm == "batch":
+        return nn.BatchNorm(
+            use_running_average=det, momentum=0.9, epsilon=1e-5, name=name
+        )
+    if norm == "group":
+        return nn.GroupNorm(num_groups=gn_groups, epsilon=1e-5, name=name)
+    raise ValueError(f"unknown norm {norm!r}")
+
+
 class _ConvBN(nn.Module):
-    """Conv1d + BatchNorm on (B, T, C)."""
+    """Conv1d + norm on (B, T, C)."""
 
     features: int
     kernel: int
     stride: int = 1
     use_bias: bool = True
     groups: int = 1
+    norm: str = "batch"
+    gn_groups: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -146,7 +158,7 @@ class _ConvBN(nn.Module):
             feature_group_count=self.groups,
             name="conv",
         )(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        return _make_norm(self.norm, self.gn_groups, not train, "bn")(x)
 
 
 class RegionConvAttentionEncoder(nn.Module):
@@ -190,18 +202,24 @@ class RegionConvAttentionEncoder(nn.Module):
                     feature_group_count=x.shape[-1], name=f"stage{i}_depthwise",
                 )(x)
                 y = nn.Conv(feats, (1,), name=f"stage{i}_pointwise")(y)
-                y = nn.BatchNorm(use_running_average=det, momentum=0.9, epsilon=1e-5, name=f"stage{i}_bn")(y)
+                y = _make_norm(
+                    cfg.norm, cfg.groupnorm_groups, det, f"stage{i}_bn"
+                )(y)
                 x = dropout(nn.gelu(y), drop_med)
                 continue
             if x.shape[-1] == feats and stride == 1:
                 residual = x
             else:
                 residual = _ConvBN(
-                    feats, 1, stride=stride, use_bias=False, name=f"stage{i}_residual"
+                    feats, 1, stride=stride, use_bias=False,
+                    norm=cfg.norm, gn_groups=cfg.groupnorm_groups,
+                    name=f"stage{i}_residual",
                 )(x, train=train)
-            y = _ConvBN(feats, kern, stride=stride, name=f"stage{i}_convbn")(
-                x, train=train
-            )
+            y = _ConvBN(
+                feats, kern, stride=stride,
+                norm=cfg.norm, gn_groups=cfg.groupnorm_groups,
+                name=f"stage{i}_convbn",
+            )(x, train=train)
             y = nn.gelu(y + residual)
             rate = drop_light if i < 2 else (drop_med if i < 4 else drop_heavy)
             x = dropout(y, rate)

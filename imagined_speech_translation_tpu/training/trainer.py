@@ -83,16 +83,21 @@ class EEGTrainer:
         )
 
         gen_cfg = cfg.generation
-        bart = cfg.model.bart
+        # Decode ids come from the TOKENIZER, which defines the data contract:
+        # sequences start at BOS ([CLS]) and terminate with [SEP].  The
+        # reference instead decodes with the HF config's decoder_start/eos
+        # (102/104) while training on BOS-started, SEP-terminated labels — a
+        # silent train/eval mismatch (generation can neither start from the
+        # trained distribution nor stop early).  Deliberate fix.
         self.decode_params = DecodeParams(
             max_length=gen_cfg.max_length,
             min_length=gen_cfg.min_length,
             num_beams=gen_cfg.num_beams,
             length_penalty=gen_cfg.length_penalty,
             early_stopping=gen_cfg.early_stopping,
-            pad_token_id=bart.pad_token_id,
-            eos_token_id=bart.eos_token_id,
-            decoder_start_token_id=bart.decoder_start_token_id,
+            pad_token_id=tokenizer.pad_token_id,
+            eos_token_id=tokenizer.sep_token_id,
+            decoder_start_token_id=tokenizer.bos_token_id,
         )
         self._eeg_model = EEGDecodingModel(cfg.model)
         self._generate = build_generate_fn(self._eeg_model, self.decode_params)

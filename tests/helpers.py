@@ -72,7 +72,7 @@ def tiny_config(vocab_size: int, *, n_timepoints: int = 64, max_length: int = 10
                 pad_token_id=tok.pad_token_id,
                 bos_token_id=tok.bos_token_id,
                 eos_token_id=tok.eos_token_id,
-                decoder_start_token_id=tok.sep_token_id,
+                decoder_start_token_id=tok.bos_token_id,
             ),
         ),
         generation=GenerationConfig(max_length=max_length, min_length=2, num_beams=2),

@@ -73,6 +73,18 @@ def test_region_encoder_shapes():
     assert jnp.isfinite(out).all()
 
 
+def test_region_encoder_groupnorm_flag():
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_REGION, norm="group", groupnorm_groups=4)
+    enc = RegionConvAttentionEncoder(cfg, hidden_dim=48)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, C)), jnp.float32)
+    variables = enc.init(jax.random.key(0), x)
+    assert "batch_stats" not in variables  # no running stats under GroupNorm
+    out = enc.apply(variables, x)
+    assert out.shape == (B, 48) and jnp.isfinite(out).all()
+
+
 def test_region_encoder_cnn_only():
     cfg = RegionEncoderConfig(
         conv_channels=TINY_REGION.conv_channels,
