@@ -211,6 +211,37 @@ class ChineseCharTokenizer(WordPieceTokenizer):
         toks = Path(path).read_text(encoding="utf-8").splitlines()
         return cls([t.rstrip("\n") for t in toks], **kw)
 
+    @classmethod
+    def from_pretrained_dir(cls, directory, **kw):
+        """Load from an HF checkpoint directory (``vocab.txt`` +
+        optional ``tokenizer_config.json`` special-token overrides +
+        ``special_tokens_map.json``)."""
+        import json
+
+        d = Path(directory)
+        vocab_file = d / "vocab.txt"
+        if not vocab_file.exists():
+            raise FileNotFoundError(f"no vocab.txt under {directory}")
+        overrides = {}
+        for cfg_name in ("tokenizer_config.json", "special_tokens_map.json"):
+            p = d / cfg_name
+            if p.exists():
+                try:
+                    data = json.loads(p.read_text())
+                except json.JSONDecodeError:
+                    continue
+                for k in ("pad_token", "unk_token", "cls_token", "sep_token",
+                          "mask_token", "eos_token"):
+                    v = data.get(k)
+                    if isinstance(v, dict):
+                        v = v.get("content")
+                    if isinstance(v, str):
+                        overrides[k] = v
+                if "do_lower_case" in data:
+                    overrides["do_lower_case"] = bool(data["do_lower_case"])
+        overrides.update(kw)
+        return cls.from_vocab_file(vocab_file, **overrides)
+
     # ------------------------------------------------------------------
     def encode(self, text: str, max_length: int) -> dict[str, np.ndarray]:
         """``[CLS] tokens [SEP]`` padded/truncated to ``max_length``

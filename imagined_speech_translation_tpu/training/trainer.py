@@ -108,6 +108,9 @@ class EEGTrainer:
         self.patience_counter = 0
         self.consecutive_repetitive = 0
         self.start_epoch = 0
+        self.start_window = 0
+        self._windows_done = 0
+        self._current_epoch = 0
 
         self._train_step = None
         self._eval_step = None
@@ -148,14 +151,19 @@ class EEGTrainer:
         return state
 
     # ------------------------------------------------------------------
-    def _train_batches(self, epoch: int) -> Iterable[dict]:
-        """Accumulation-window batches shaped (accum, micro, ...)."""
+    def _train_batches(self, epoch: int, start_window: int = 0) -> Iterable[dict]:
+        """Accumulation-window batches shaped (accum, micro, ...).
+
+        ``start_window`` supports mid-epoch resume: the data order is a pure
+        function of (seed, epoch), so skipping the first N windows replays
+        the exact remainder of an interrupted epoch (the reference can only
+        resume at epoch granularity — SURVEY.md §5 checkpoint row)."""
         tc = self.cfg.training
         rng = np.random.default_rng((tc.seed, epoch))
         idx = rng.permutation(self.train_indices)
         window = tc.batch_size * tc.grad_accum_steps
         n_windows = len(idx) // window
-        for w in range(n_windows):
+        for w in range(start_window, n_windows):
             chunk = idx[w * window : (w + 1) * window]
             batch = self.dataset.get_batch(chunk, epoch=epoch)
             out = {}
@@ -168,14 +176,21 @@ class EEGTrainer:
                     )
             yield out
 
-    def train_epoch(self, state: TrainState, epoch: int) -> tuple[TrainState, float]:
+    def train_epoch(
+        self, state: TrainState, epoch: int, *, start_window: int = 0
+    ) -> tuple[TrainState, float]:
         tc = self.cfg.training
         losses = []
         t0 = time.time()
         rng = jax.random.key(tc.seed + 1000 + epoch)
-        for step, batch in enumerate(self._train_batches(epoch)):
+        self._windows_done = start_window
+        self._current_epoch = epoch
+        for step, batch in enumerate(
+            self._train_batches(epoch, start_window), start=start_window
+        ):
             step_rng = jax.random.fold_in(rng, step)
             state, metrics = self._train_step(state, batch, step_rng)
+            self._windows_done = step + 1
             if step % max(tc.log_every_steps, 1) == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 lrs = learning_rates_at(
@@ -263,9 +278,10 @@ class EEGTrainer:
             return True
         return False
 
-    def _meta(self, epoch: int, metrics: dict) -> dict:
+    def _meta(self, epoch: int, metrics: dict, *, window: int = 0) -> dict:
         return {
             "epoch": epoch,
+            "window": window,
             "best_bleu4": self.best_bleu4,
             "best_diversity": self.best_diversity,
             "metrics": {
@@ -281,7 +297,14 @@ class EEGTrainer:
         if name is None or not self.ckpt.exists(name):
             return state
         state, meta = self.ckpt.restore(name, state)
-        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        window = int(meta.get("window", 0))
+        if window > 0:
+            # mid-epoch checkpoint: replay the rest of that epoch
+            self.start_epoch = int(meta.get("epoch", 0))
+            self.start_window = window
+        else:
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.start_window = 0
         self.best_bleu4 = meta.get("best_bleu4", 0.0)
         self.best_diversity = meta.get("best_diversity", 0.0)
         if self.adaptive and meta.get("adaptive"):
@@ -299,7 +322,10 @@ class EEGTrainer:
         tc = self.cfg.training
         try:
             for epoch in range(self.start_epoch, tc.num_epochs):
-                state, train_loss = self.train_epoch(state, epoch)
+                start_window = self.start_window if epoch == self.start_epoch else 0
+                state, train_loss = self.train_epoch(
+                    state, epoch, start_window=start_window
+                )
                 val = self.evaluate(state, epoch=epoch)
                 self.mlog.log(
                     {
@@ -350,7 +376,10 @@ class EEGTrainer:
                 if (epoch + 1) % tc.checkpoint.save_interval_epochs == 0:
                     self.ckpt.save_epoch(state, epoch, self._meta(epoch, {}))
         except KeyboardInterrupt:
-            self.ckpt.save_interrupted(state, self._meta(-1, {}))
+            self.ckpt.save_interrupted(
+                state,
+                self._meta(self._current_epoch, {}, window=self._windows_done),
+            )
             logger.info("Interrupted — checkpoint saved")
             raise
         return state, self.best_bleu4
