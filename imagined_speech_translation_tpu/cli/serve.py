@@ -139,6 +139,10 @@ def main(argv=None):
 
     n_ch = spec.gather_indices.max() + 1  # raw montage channels expected
 
+    logger.info("warming up the decode program...")
+    decode_fn(np.zeros((1, int(n_ch), T), np.float32))
+    logger.info("decode program ready")
+
     def pipeline_factory(key: str) -> DecodePipeline:
         ring = RingBuffer(int(n_ch), capacity=4 * T)
         hop = args.window_hop or T

@@ -186,6 +186,38 @@ class EEGTextDataset:
         tok = self.tokenizer.encode_for_seq2seq(text, self.cfg.max_length)
         return Example(eeg=normalized, **tok)
 
+    def stats(self, *, sample_size: int = 50, seed: int = 0) -> dict:
+        """Sampled regional statistics (reference:
+        ``_compute_regional_stats_sample`` / ``get_sample_stats``,
+        dataset.py:263-292, 541-550)."""
+        rng = np.random.default_rng(seed)
+        n = min(sample_size, len(self))
+        idx = rng.choice(len(self), size=n, replace=False)
+        acc = []
+        for i in idx:
+            acc.append(self.get(int(i)).eeg)
+        stacked = np.stack(acc)  # (n, R, C, T)
+        regional = {}
+        for r, name in enumerate(self.region_spec.region_names):
+            cnt = self.region_spec.counts[r]
+            data = stacked[:, r, :cnt]
+            regional[name] = {
+                "num_channels": cnt,
+                "overall_mean": float(data.mean()),
+                "overall_std": float(data.std()),
+                "shape": list(data.shape),
+            }
+        return {
+            "total_samples": len(self),
+            "loading_mode": "lazy_loading_with_caching",
+            "normalization": f"RegionRobustScaler(quantile_range={self.cfg.scaler_quantile_range})",
+            "augmentation_enabled": self.augment and self.cfg.augmentation.enabled,
+            "region_channel_counts": dict(
+                zip(self.region_spec.region_names, self.region_spec.counts)
+            ),
+            "regional_stats": regional,
+        }
+
     def get_batch(self, indices, *, epoch: int = 0) -> dict[str, np.ndarray]:
         ex = [self.get(int(i), epoch=epoch) for i in indices]
         return {
