@@ -5,8 +5,6 @@ jittable EEG→tokens function (the reference's ``model.generate`` /
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -26,7 +26,6 @@ gathers them by parent index each step.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -8,8 +8,6 @@ Chisco pipeline (SURVEY.md §2.8) and is the numerator of the BASELINE
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

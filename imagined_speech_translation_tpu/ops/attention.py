@@ -14,8 +14,6 @@ Layout convention: ``(batch, heads, seq, head_dim)``.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

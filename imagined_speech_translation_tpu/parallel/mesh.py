@@ -15,7 +15,6 @@ batch, let XLA insert collectives.
 from __future__ import annotations
 
 import re
-from typing import Any
 
 import jax
 import numpy as np

@@ -11,7 +11,6 @@ against the :class:`~.services.ServiceBundle` and registered on a
 from __future__ import annotations
 
 import base64
-from typing import Any
 
 from .services import ServiceBundle
 from .session import Session, SessionRegistry

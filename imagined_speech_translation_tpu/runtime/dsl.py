@@ -15,7 +15,7 @@ drive device/service actions:
 from __future__ import annotations
 
 import inspect
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Mapping
 
 CALL_SEP = "¬"

@@ -11,7 +11,7 @@ Two framings from the reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 DELIM = "¬"
 BDELIM = b"|"

@@ -14,7 +14,6 @@ the projection group.
 
 from __future__ import annotations
 
-import jax
 import optax
 
 from ..config import OptimizerConfig

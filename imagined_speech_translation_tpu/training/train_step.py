@@ -12,8 +12,7 @@ cross-replica gradient reduction — no explicit psum needed.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -259,6 +259,19 @@ class EEGTrainer:
         )
         metrics["predictions"] = predictions[:10]
         metrics["targets"] = targets[:10]
+        # per-region importance (reference logs these each epoch,
+        # wandb-summary per-region weights; brain_encoder.py:195-212)
+        from ..models.brain_encoder import BrainRegionEncoder
+
+        try:
+            rw = BrainRegionEncoder.region_weights(
+                state.params["model"]["brain_encoder"],
+                self.cfg.model.brain_encoder,
+            )
+            for name, w in zip(rw["names"], rw["softmax"]):
+                metrics[f"region_weight_{name}"] = float(w)
+        except (KeyError, TypeError):
+            pass
         return metrics
 
     # ------------------------------------------------------------------
