@@ -77,7 +77,9 @@ def main(argv=None):
     import orbax.checkpoint as ocp
 
     out = Path(args.out).absolute()
-    ocp.StandardCheckpointer().save(out, jax.tree.map(np.asarray, params))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out, jax.tree.map(np.asarray, params))
+    ckptr.wait_until_finished()
     logger.info("saved params to %s", out)
     vocab = ckpt / "vocab.txt"
     if vocab.exists():

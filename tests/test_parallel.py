@@ -124,6 +124,40 @@ def test_dp_tp_step_matches_single_device(setup, eight_devices):
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
 
 
+def test_data_parallel_generate_matches_single_device(setup, eight_devices):
+    """Beam decode under a DP mesh returns the same tokens as single-device."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imagined_speech_translation_tpu.decode import (
+        DecodeParams,
+        build_generate_fn,
+    )
+    from imagined_speech_translation_tpu.models import EEGDecodingModel
+    from tests.helpers import tiny_tokenizer
+
+    cfg, module, optimizer, bow, state, batch = setup
+    tok = tiny_tokenizer()
+    model = EEGDecodingModel(cfg.model)
+    dp = DecodeParams(
+        max_length=8, min_length=2, num_beams=3,
+        pad_token_id=tok.pad_token_id, eos_token_id=tok.sep_token_id,
+        decoder_start_token_id=tok.bos_token_id,
+    )
+    gen = build_generate_fn(model, dp)
+    eeg = batch["eeg"].reshape((-1,) + batch["eeg"].shape[2:])  # (8, 4, 16, T)
+    mask = batch["channel_mask"]
+    mv = state.model_variables()
+
+    ref = np.asarray(gen(mv, eeg, mask))
+
+    mesh = make_mesh(8, 1)
+    eeg_sharded = jax.device_put(eeg, NamedSharding(mesh, P("data")))
+    mv_repl = jax.device_put(mv, NamedSharding(mesh, P()))
+    got = np.asarray(gen(mv_repl, eeg_sharded, mask))
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_batch_sharding_specs(setup, eight_devices):
     cfg, module, optimizer, bow, state, batch = setup
     mesh = make_mesh(4, 2)
