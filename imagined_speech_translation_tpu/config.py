@@ -277,6 +277,10 @@ class TrainingConfig:
     bleu_tolerance_frac: float = 0.9  # secondary selection path
     collapse_tolerance: int = 3       # repetitive-collapse counter (trainer.py:400-443)
     log_every_steps: int = 50
+    # bf16 compute with float32 master params/optimizer state (the reference
+    # ran fp32: config.yaml `mixed_precision: false`; on TPU bf16 is the
+    # MXU-native path)
+    mixed_precision: bool = False
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)

@@ -26,18 +26,39 @@ from .train_state import TrainModule, TrainState
 def make_loss_fn(module: TrainModule, cfg: Config, bow_indices):
     loss_cfg = cfg.training.loss
     bow_indices = jnp.asarray(bow_indices, jnp.int32)
+    mixed = cfg.training.mixed_precision
+
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
 
     def loss_fn(params, batch_stats, micro_batch, rng, loss_weights):
-        variables = {"params": params, "batch_stats": batch_stats}
+        if mixed:
+            # bf16 compute; the cast is inside the differentiated function so
+            # gradients flow back to the f32 master params
+            fwd_params = _cast(params, jnp.bfloat16)
+            fwd_stats = _cast(batch_stats, jnp.bfloat16)
+            eeg = micro_batch["eeg"].astype(jnp.bfloat16)
+        else:
+            fwd_params, fwd_stats, eeg = params, batch_stats, micro_batch["eeg"]
+        variables = {"params": fwd_params, "batch_stats": fwd_stats}
         (logits, aux), mutated = module.apply(
             variables,
-            micro_batch["eeg"],
+            eeg,
             micro_batch["decoder_input_ids"],
             micro_batch["channel_mask"],
             train=True,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
+        if mixed:
+            # keep the running BN stats in f32 so the scan carry dtype is
+            # stable and stats don't accumulate bf16 rounding
+            mutated = {"batch_stats": _cast(mutated["batch_stats"], jnp.float32)}
         labels = micro_batch["labels"]
         if loss_cfg.composite:
             def heads_apply(eeg_feat, text_feat):

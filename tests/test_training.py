@@ -103,6 +103,26 @@ def test_train_step_reduces_loss(setup):
     assert float(metrics["grad_norm"]) > 0
 
 
+def test_mixed_precision_train_step(setup):
+    import dataclasses
+
+    tok, cfg, ds, bow, module, optimizer, state = setup
+    cfg_mp = cfg.replace(
+        training=dataclasses.replace(cfg.training, mixed_precision=True)
+    )
+    step_fn = jax.jit(make_train_step(module, optimizer, cfg_mp, bow))
+    batch = _window_batch(ds, cfg)
+    s, metrics = step_fn(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # master params stay f32
+    leaf = jax.tree_util.tree_leaves(s.params)[0]
+    assert leaf.dtype == jnp.float32
+    # bf16 loss close to the f32 loss on the same batch
+    f32_fn = jax.jit(make_train_step(module, optimizer, cfg, bow))
+    _, m32 = f32_fn(state, batch, jax.random.key(0))
+    assert abs(float(metrics["loss"]) - float(m32["loss"])) < 0.15
+
+
 def test_eval_step(setup):
     tok, cfg, ds, bow, module, optimizer, state = setup
     eval_fn = jax.jit(make_eval_step(module, cfg, bow))
