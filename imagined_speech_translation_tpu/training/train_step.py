@@ -37,15 +37,16 @@ def make_loss_fn(module: TrainModule, cfg: Config, bow_indices):
         )
 
     def loss_fn(params, batch_stats, micro_batch, rng, loss_weights):
+        # under mixed precision ``params`` arrive ALREADY cast to bf16 (the
+        # cast is hoisted out of the accumulation scan — one cast per window,
+        # not per micro-step); gradients are taken wrt the bf16 copy and
+        # accumulated in f32, the standard master-weights scheme
         if mixed:
-            # bf16 compute; the cast is inside the differentiated function so
-            # gradients flow back to the f32 master params
-            fwd_params = _cast(params, jnp.bfloat16)
             fwd_stats = _cast(batch_stats, jnp.bfloat16)
             eeg = micro_batch["eeg"].astype(jnp.bfloat16)
         else:
-            fwd_params, fwd_stats, eeg = params, batch_stats, micro_batch["eeg"]
-        variables = {"params": fwd_params, "batch_stats": fwd_stats}
+            fwd_stats, eeg = batch_stats, micro_batch["eeg"]
+        variables = {"params": params, "batch_stats": fwd_stats}
         (logits, aux), mutated = module.apply(
             variables,
             eeg,
@@ -101,18 +102,32 @@ def make_train_step(
     loss_fn = make_loss_fn(module, cfg, bow_indices)
     grad_fn = jax.grad(loss_fn, has_aux=True)
     accum = cfg.training.grad_accum_steps
+    mixed = cfg.training.mixed_precision
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         channel_mask = batch["channel_mask"]
+        if mixed:
+            # one bf16 copy per window, shared across all micro-steps
+            fwd_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                state.params,
+            )
+        else:
+            fwd_params = state.params
 
         def accum_body(carry, micro):
             grads_acc, batch_stats, comps_acc, i = carry
             micro = dict(micro, channel_mask=channel_mask)
             step_rng = jax.random.fold_in(rng, i)
             grads, (batch_stats, comps) = grad_fn(
-                state.params, batch_stats, micro, step_rng, state.loss_weights
+                fwd_params, batch_stats, micro, step_rng, state.loss_weights
             )
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            # bf16 grads upcast into the f32 accumulator by the add itself
+            grads_acc = jax.tree.map(
+                lambda a, g: a + g.astype(a.dtype), grads_acc, grads
+            )
             comps_acc = jax.tree.map(jnp.add, comps_acc, comps)
             return (grads_acc, batch_stats, comps_acc, i + 1), None
 
