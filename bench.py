@@ -54,9 +54,13 @@ def main():
     model = EEGDecodingModel(cfg.model)
     gen_cfg = cfg.generation
     bart = cfg.model.bart
+    # Pinned decode length: with min_length == max_length, EOS is banned until
+    # the final position, so every window decodes exactly max_length tokens
+    # regardless of where randomly-initialized weights would hit EOS.  This
+    # makes BENCH_r*.json comparable across rounds (worst-case decode work).
     dp = DecodeParams(
         max_length=gen_cfg.max_length,
-        min_length=gen_cfg.min_length,
+        min_length=gen_cfg.max_length,
         num_beams=gen_cfg.num_beams,
         pad_token_id=bart.pad_token_id,
         eos_token_id=bart.eos_token_id,
@@ -113,7 +117,8 @@ def main():
             {
                 "metric": "eeg_windows_per_sec_per_chip",
                 "value": round(windows_per_sec, 3),
-                "unit": "windows/s (preproc+beam3 decode, B=%d, T=%d)" % (B, T),
+                "unit": "windows/s (preproc+beam3 decode, pinned len=%d, B=%d, T=%d)"
+                % (dp.max_length, B, T),
                 "vs_baseline": round(windows_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
             }
         )

@@ -15,7 +15,7 @@ generation block of ``config/training_config.py:32-39``):
   hypotheses exist; at ``max_length`` alive beams are finalized in beam
   order; EOS is appended to finished sequences when it fits;
 * token-identical to HF on the same logits — pinned by
-  ``tests/test_decode_parity.py`` against torch BART.
+  ``tests/test_bart_parity.py`` against torch BART.
 
 The model is abstracted as ``step_fn(tokens, positions, caches) ->
 (logits, caches)`` over flattened ``(batch*beams, 1)`` token slabs, with all
