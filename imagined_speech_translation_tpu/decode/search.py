@@ -184,30 +184,32 @@ def beam_search(
         cand_tok = (cand_idx % V).astype(jnp.int32)
         is_eos = cand_tok == p.eos_token_id
 
-        # ---- finished-hypothesis updates (sequential in candidate rank,
-        # matching BeamSearchScorer.process) -------------------------------
+        # ---- finished-hypothesis updates ----------------------------------
+        # BeamSearchScorer.process walks candidates in rank order, appending
+        # while len < K and then replacing the worst when strictly better.
+        # That tournament keeps exactly the K best of (old hyps ∪ eligible
+        # candidates), so one vectorized union→top-K merge is equivalent
+        # (ties keep the incumbent: the union lists old hyps first and top_k
+        # breaks ties by index, matching HF's strict `score > worst`).
         norm = cur.astype(jnp.float32) ** p.length_penalty  # length excl. EOS
-        for rank in range(2 * K):
-            score = cand_scores[:, rank] / norm
-            add = is_eos[:, rank] & (rank < K) & ~done
-            worst = jnp.argmin(fin_scores, axis=1)  # (B,)
-            can_insert = (fin_count < K) | (score > fin_scores[jnp.arange(batch), worst])
-            add = add & can_insert
-            src = jnp.take_along_axis(seqs, cand_beam[:, rank][:, None, None], axis=1)[
-                :, 0
-            ]  # (B, L) tokens of the parent beam (EOS not stored, HF hyp excludes it)
-            upd_seqs = jnp.where(
-                add[:, None], src, fin_seqs[jnp.arange(batch), worst]
-            )
-            fin_seqs = fin_seqs.at[jnp.arange(batch), worst].set(upd_seqs)
-            fin_scores = fin_scores.at[jnp.arange(batch), worst].set(
-                jnp.where(add, score, fin_scores[jnp.arange(batch), worst])
-            )
-            fin_lens = fin_lens.at[jnp.arange(batch), worst].set(
-                jnp.where(add, cur, fin_lens[jnp.arange(batch), worst])
-            )
-            fin_count = fin_count + add.astype(jnp.int32)
-        fin_count = jnp.minimum(fin_count, K)
+        eligible = is_eos[:, :K] & ~done[:, None]  # EOS ranked ≥ K is dropped
+        cand_fin_scores = jnp.where(
+            eligible, cand_scores[:, :K] / norm, NEG_INF
+        )  # (B, K)
+        cand_fin_seqs = jnp.take_along_axis(
+            seqs, cand_beam[:, :K, None], axis=1
+        )  # (B, K, L) parent-beam tokens (EOS not stored, HF hyp excludes it)
+        union_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
+        union_seqs = jnp.concatenate([fin_seqs, cand_fin_seqs], axis=1)
+        union_lens = jnp.concatenate(
+            [fin_lens, jnp.full((batch, K), cur, jnp.int32)], axis=1
+        )
+        fin_scores, keep = jax.lax.top_k(union_scores, K)  # (B, K)
+        fin_seqs = jnp.take_along_axis(union_seqs, keep[:, :, None], axis=1)
+        fin_lens = jnp.take_along_axis(union_lens, keep, axis=1)
+        fin_count = jnp.minimum(
+            fin_count + eligible.sum(axis=1, dtype=jnp.int32), K
+        )
 
         # ---- refill alive beams from best non-EOS candidates --------------
         alive_cand = jnp.where(is_eos, NEG_INF, cand_scores)
@@ -249,23 +251,20 @@ def beam_search(
      _) = jax.lax.while_loop(cond, body, state)
 
     # ---- finalize: add alive beams for rows without K finished hyps -------
+    # Same union→top-K merge as in the loop body (BeamSearchScorer.finalize
+    # adds alive beams in beam order with the identical tournament rule).
     norm = cur.astype(jnp.float32) ** p.length_penalty
-    for b_rank in range(K):
-        score = alive_scores[:, b_rank] / norm
-        worst = jnp.argmin(fin_scores, axis=1)
-        can = (fin_count < K) | (score > fin_scores[jnp.arange(batch), worst])
-        add = ~done & can
-        src = seqs[:, b_rank]
-        fin_seqs = fin_seqs.at[jnp.arange(batch), worst].set(
-            jnp.where(add[:, None], src, fin_seqs[jnp.arange(batch), worst])
-        )
-        fin_scores = fin_scores.at[jnp.arange(batch), worst].set(
-            jnp.where(add, score, fin_scores[jnp.arange(batch), worst])
-        )
-        fin_lens = fin_lens.at[jnp.arange(batch), worst].set(
-            jnp.where(add, cur, fin_lens[jnp.arange(batch), worst])
-        )
-        fin_count = fin_count + add.astype(jnp.int32)
+    alive_fin_scores = jnp.where(
+        ~done[:, None], alive_scores / norm, NEG_INF
+    )  # (B, K)
+    union_scores = jnp.concatenate([fin_scores, alive_fin_scores], axis=1)
+    union_seqs = jnp.concatenate([fin_seqs, seqs], axis=1)
+    union_lens = jnp.concatenate(
+        [fin_lens, jnp.full((batch, K), cur, jnp.int32)], axis=1
+    )
+    fin_scores, keep = jax.lax.top_k(union_scores, K)
+    fin_seqs = jnp.take_along_axis(union_seqs, keep[:, :, None], axis=1)
+    fin_lens = jnp.take_along_axis(union_lens, keep, axis=1)
 
     # best hypothesis per row; append EOS when it fits (HF finalize)
     best = jnp.argmax(fin_scores, axis=1)

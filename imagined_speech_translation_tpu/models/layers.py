@@ -66,9 +66,9 @@ class MultiHeadAttention(nn.Module):
     """MHA over ``(B, S, D)`` with optional KV cache for decode.
 
     Equivalent to ``torch.nn.MultiheadAttention(batch_first=True)`` with
-    separate q/k/v/out projections.  Attention-prob dropout runs only on the
-    jnp path; the flash kernel is used when dropout is off (eval/decode) or
-    the rate is 0.
+    separate q/k/v/out projections.  Attention-prob dropout runs in-kernel on
+    the flash path (TPU, training and eval) and via ``jax.random.bernoulli``
+    on the jnp path (CPU oracle) — same distribution, different bits.
     """
 
     num_heads: int
@@ -108,14 +108,13 @@ class MultiHeadAttention(nn.Module):
 
         use_drop = (not deterministic) and self.dropout > 0.0
         if use_drop:
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (
-                hd**-0.5
+            # attention-prob dropout rides the flash kernel on TPU (in-kernel
+            # PRNG) so the training hot loop never materializes (S, S)
+            out = dot_product_attention(
+                q, k, v, mask=mask,
+                dropout_rate=self.dropout,
+                dropout_rng=self.make_rng("dropout"),
             )
-            if mask is not None:
-                logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-            probs = jax.nn.softmax(logits, axis=-1)
-            probs = nn.Dropout(self.dropout)(probs, deterministic=False)
-            out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
         else:
             out = dot_product_attention(q, k, v, mask=mask)
 

@@ -1,4 +1,4 @@
-"""Blocked online-softmax (flash) attention Pallas kernel for TPU.
+"""Blocked online-softmax (flash) attention Pallas kernels for TPU.
 
 Targets the reference's FLOPs hot spot: dense O(T²) self-attention over the
 1655-token per-region sequences (``main_model/src/models/layers.py:230-251``;
@@ -7,9 +7,24 @@ HBM, each q-block streams k/v blocks through VMEM with the online-softmax
 recurrence (running max ``m``, normalizer ``l``, accumulator ``acc``), so HBM
 traffic is O(S·D) and the matmuls stay on the MXU.
 
+Round 2 additions (this is now the TRAINING path, not just eval/decode):
+
+* **custom VJP** — FlashAttention-2 style backward: the forward also emits
+  the per-row logsumexp; the backward recomputes probabilities blockwise in
+  two kernels (dq over q-blocks; dk/dv over k-blocks) so the (S, S) tensor is
+  never materialized in either direction.
+* **in-kernel dropout** — attention-probability dropout (the reference's
+  ``nn.MultiheadAttention(dropout=0.1)``) via the TPU PRNG.  Bits are drawn
+  per (q-block, k-block) tile with a seed mixed from
+  ``(seed, batch·head, q_block, k_block)``, so the forward and both backward
+  kernels regenerate identical masks without storing them.
+* **exp2 softmax** — log2(e) is folded into the q scaling so the inner loop's
+  transcendental is a bare ``exp2`` (the VPU's native exponent), shaving the
+  per-element multiply off the old ``exp`` path.
+
 Layout: ``(batch, heads, seq, head_dim)``.  The wrapper pads seq to the
 q/k block size and head_dim to the 128-lane tile, and masks the padded key
-tail inside the kernel.  Unmasked (full) attention only — exactly the
+tail inside the kernels.  Unmasked (full) attention only — exactly the
 encoder's pattern; masked/causal shapes fall back to the jnp path in
 ``ops.attention``.
 """
@@ -17,6 +32,7 @@ encoder's pattern; masked/causal shapes fall back to the jnp path in
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -25,17 +41,52 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
+LOG2E = math.log2(math.e)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int,
-                  scale: float):
-    # q_ref: (block_q, d); k_ref/v_ref: (kv_pad, d); o_ref: (block_q, d)
-    # inputs stay in their storage dtype (bf16 rides the fast MXU path);
-    # accumulation is always float32 via preferred_element_type
-    q = q_ref[:] * jnp.asarray(scale, q_ref.dtype)
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _dropout_threshold(rate: float) -> jnp.ndarray:
+    """uint32 threshold t with P(bits < t) = rate for uniform uint32 bits."""
+    return jnp.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
+
+
+def _tile_keep_mask(seed_ref, bh, qi, ki, shape, rate: float):
+    """Regenerate the (q-tile, k-tile) dropout keep-mask.  Deterministic in
+    (seed, bh, qi, ki) so forward and backward kernels agree bit-for-bit.
+    The TPU PRNG accepts at most two seed words, so the tile coordinates are
+    packed into one int32 (valid while qi, ki < 256 — i.e. S < 256·block).
+    The seed rides a (1, 128) int32 VMEM row: scalar SMEM blocks fail the
+    Mosaic block checks when vmap batches this kernel (the region encoders
+    vmap it over the region axis), VMEM rows batch cleanly."""
+    tile_id = (bh * 256 + qi) * 256 + ki
+    pltpu.prng_seed(seed_ref[0, 0], tile_id)
+    bits = pltpu.prng_random_bits(shape)
+    return bits >= _dropout_threshold(rate)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+    *, block_k: int, kv_len: int, scale: float, dropout_rate: float,
+):
+    # q_ref: (block_q, d); k_ref/v_ref: (kv_pad, d); o_ref: (block_q, d);
+    # lse_ref: (1, block_q) — base-2 logsumexp of the scaled scores (rows
+    # ride the lane dim; TPU blocks must stay 2-D).
+    # Inputs stay in their storage dtype (bf16 rides the fast MXU path);
+    # accumulation is always float32 via preferred_element_type.
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    q = q_ref[:] * jnp.asarray(scale * LOG2E, q_ref.dtype)
     block_q, d = q.shape
     kv_pad = k_ref.shape[0]
     n_blocks = kv_pad // block_k
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     def body(i, carry):
         acc, m, l = carry
@@ -43,14 +94,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int,
         v = v_ref[pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+        )  # (block_q, block_k), base-2 log domain
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         s = jnp.where(col + i * block_k < kv_len, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1))
-        p = jnp.exp(s - m_new[:, None])
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1)
+        p = jnp.exp2(s - m_new[:, None])
+        alpha = jnp.exp2(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1)  # normalizer over PRE-dropout p
+        if dropout_rate > 0.0:
+            keep = _tile_keep_mask(seed_ref, bh, qi, i, p.shape, dropout_rate)
+            p = jnp.where(keep, p * inv_keep, 0.0)
         acc_new = acc * alpha[:, None] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -61,24 +115,336 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int,
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+    l = jnp.maximum(l, 1e-30)
+    o_ref[:] = (acc / l[:, None]).astype(o_ref.dtype)
+    lse_ref[0, :] = m + jnp.log2(l)
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-@functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
-)
-def _flash_attention_padded(
-    q, k, v, *, scale: float, block_q: int, block_k: int, interpret: bool
+def _fwd_call(
+    qp, kp, vp, seed, *, block_q: int, block_k: int, kv_len: int,
+    scale: float, dropout_rate: float, interpret: bool,
 ):
+    bh, q_pad, d_pad = qp.shape
+    kv_pad = kp.shape[1]
+    kernel = functools.partial(
+        _fwd_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
+        dropout_rate=dropout_rate,
+    )
+    grid = (bh, q_pad // block_q)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, q_pad, d_pad), qp.dtype),
+            jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (None, block_q, d_pad), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, kv_pad, d_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, kv_pad, d_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (None, block_q, d_pad), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, block_q), lambda b, i: (b, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * q_pad * kv_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize
+            + bh * q_pad * d_pad * qp.dtype.itemsize,
+            transcendentals=bh * q_pad * kv_pad,
+        ),
+        interpret=interpret,
+    )(seed, qp, kp, vp)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, block_k: int, kv_len: int, scale: float, dropout_rate: float,
+):
+    # Per q-block: stream k/v blocks, recompute p from lse, accumulate
+    #   dS = P ∘ (M/κ ∘ (dO Vᵀ) − Δ),  dQ = scale · dS K.
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    q2 = q_ref[:] * jnp.asarray(scale * LOG2E, q_ref.dtype)  # base-2 domain
+    do = do_ref[:]
+    lse = lse_ref[0, :]
+    delta = delta_ref[0, :]
+    block_q, d = q2.shape
+    kv_pad = k_ref.shape[0]
+    n_blocks = kv_pad // block_k
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+
+    def body(i, acc):
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(col + i * block_k < kv_len, s, NEG_INF)
+        p = jnp.exp2(s - lse[:, None])
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if dropout_rate > 0.0:
+            keep = _tile_keep_mask(seed_ref, bh, qi, i, p.shape, dropout_rate)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        ds = p * (dp - delta[:, None])
+        return acc + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[:] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, kv_len: int, scale: float, dropout_rate: float,
+):
+    # Grid (bh, k-block, q-block): the q axis rides the grid (Pallas streams
+    # q/do blocks through VMEM) and dk/dv output blocks are revisited across
+    # it, accumulating in f32:
+    #   dV = P̃ᵀ dO,  dK = dSᵀ (scale·Q).
+    bh, ki, qj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    k = k_ref[:]
+    v = v_ref[:]
+    block_k, d = k.shape
+    block_q = q_ref.shape[0]
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    col_valid = col + ki * block_k < kv_len
+
+    @pl.when(qj == 0)
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    q_s = q_ref[:] * jnp.asarray(scale, q_ref.dtype)
+    do = do_ref[:]
+    lse = lse_ref[0, :]
+    delta = delta_ref[0, :]
+    s = jax.lax.dot_general(
+        q_s * jnp.asarray(LOG2E, q_s.dtype), k,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    s = jnp.where(col_valid, s, NEG_INF)
+    p = jnp.exp2(s - lse[:, None])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if dropout_rate > 0.0:
+        keep = _tile_keep_mask(seed_ref, bh, qj, ki, p.shape, dropout_rate)
+        p_tilde = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+    else:
+        p_tilde = p
+    ds = p * (dp - delta[:, None])
+    dv_ref[:] += jax.lax.dot_general(
+        p_tilde.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[:] += jax.lax.dot_general(
+        ds.astype(q_s.dtype), q_s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_call(
+    qp, kp, vp, do, lse, delta, seed, *, block_q: int, block_k: int,
+    kv_len: int, scale: float, dropout_rate: float, interpret: bool,
+):
+    bh, q_pad, d_pad = qp.shape
+    kv_pad = kp.shape[1]
+    qkv_spec_q = pl.BlockSpec(
+        (None, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    full_kv = pl.BlockSpec(
+        (None, kv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    row_block = pl.BlockSpec(
+        (None, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+    )
+    seed2 = pl.BlockSpec(
+        (1, 128), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+    )
+    seed3 = pl.BlockSpec(
+        (1, 128), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
+            dropout_rate=dropout_rate,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, q_pad, d_pad), qp.dtype),
+        grid=(bh, q_pad // block_q),
+        in_specs=[seed2, qkv_spec_q, full_kv, full_kv, qkv_spec_q, row_block,
+                  row_block],
+        out_specs=qkv_spec_q,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * q_pad * kv_pad * d_pad,
+            bytes_accessed=(2 * qp.size + 2 * kp.size) * qp.dtype.itemsize,
+            transcendentals=bh * q_pad * kv_pad,
+        ),
+        interpret=interpret,
+    )(seed, qp, kp, vp, do, lse, delta)
+
+    # dk/dv: q rides the (innermost, sequential) grid axis; outputs are
+    # revisited across it and accumulate in f32 for precision, cast outside.
+    q_stream = pl.BlockSpec(
+        (None, block_q, d_pad), lambda b, i, j: (b, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_block3 = pl.BlockSpec(
+        (None, block_k, d_pad), lambda b, i, j: (b, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_stream = pl.BlockSpec(
+        (None, 1, block_q), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, kv_len=kv_len, scale=scale,
+            dropout_rate=dropout_rate,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
+        ),
+        grid=(bh, kv_pad // block_k, q_pad // block_q),
+        in_specs=[seed3, q_stream, kv_block3, kv_block3, q_stream, row_stream,
+                  row_stream],
+        out_specs=(kv_block3, kv_block3),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * q_pad * kv_pad * d_pad,
+            bytes_accessed=(2 * qp.size + 3 * kp.size) * qp.dtype.itemsize,
+            transcendentals=bh * q_pad * kv_pad,
+        ),
+        interpret=interpret,
+    )(seed, qp, kp, vp, do, lse, delta)
+    return dq, dk.astype(kp.dtype), dv.astype(vp.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core over padded (BH, S_pad, D_pad) arrays
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_core(
+    qp, kp, vp, seed, kv_len, scale, block_q, block_k, dropout_rate, interpret
+):
+    out, _ = _fwd_call(
+        qp, kp, vp, seed, block_q=block_q, block_k=block_k, kv_len=kv_len,
+        scale=scale, dropout_rate=dropout_rate, interpret=interpret,
+    )
+    return out
+
+
+def _flash_core_fwd(
+    qp, kp, vp, seed, kv_len, scale, block_q, block_k, dropout_rate, interpret
+):
+    out, lse = _fwd_call(
+        qp, kp, vp, seed, block_q=block_q, block_k=block_k, kv_len=kv_len,
+        scale=scale, dropout_rate=dropout_rate, interpret=interpret,
+    )
+    return out, (qp, kp, vp, seed, out, lse)
+
+
+def _flash_core_bwd(
+    kv_len, scale, block_q, block_k, dropout_rate, interpret, residuals, g
+):
+    qp, kp, vp, seed, out, lse = residuals
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (BH, 1, q_pad); Δ = rowsum(dO ∘ O) — padded rows are zero
+    do = g.astype(qp.dtype)
+    dq, dk, dv = _bwd_call(
+        qp, kp, vp, do, lse, delta, seed, block_q=block_q, block_k=block_k,
+        kv_len=kv_len, scale=scale, dropout_rate=dropout_rate,
+        interpret=interpret,
+    )
+    return dq, dk, dv, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q, k, v, *, mask=None, scale=None, dropout_rate: float = 0.0,
+    dropout_seed=None, block_q: int | None = None, block_k: int | None = None,
+    interpret: bool = False,
+):
+    """Unmasked flash attention over (B, H, S, D), differentiable, with
+    optional attention-probability dropout.  Raises NotImplementedError for
+    masked attention (the wrapper's jnp path handles those).
+
+    ``dropout_seed`` is an int32 scalar (array or python int) consumed by the
+    in-kernel PRNG; required when ``dropout_rate > 0``.
+
+    Default blocks are tuned on v5e at the framework's native S≈1655
+    (tools/tpu_kernel_check.py): q-block 256 (q-padding waste beats larger
+    blocks' pipelining; 37 vs 33 TFLOP/s fwd bf16) and the whole (padded) kv
+    in one block when the f32 score tile fits VMEM; dropout forces (256, 512)
+    tiles so all three kernels regenerate identical masks.
+    """
+    if mask is not None:
+        raise NotImplementedError("flash kernel is unmasked-only")
+    if not 0.0 <= dropout_rate < 1.0:
+        raise ValueError(f"dropout_rate {dropout_rate} outside [0, 1)")
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
     b, h, s_q, d = q.shape
     s_kv = k.shape[2]
-    kernel = functools.partial(
-        _flash_kernel, block_k=block_k, kv_len=s_kv, scale=scale
-    )
+    if block_q is None:
+        block_q = min(256, _round_up(s_q, 128))
+    if block_k is None:
+        if dropout_rate > 0.0:
+            block_k = min(512, _round_up(s_kv, 128))
+        else:
+            kv_pad = _round_up(s_kv, 128)
+            # single-block kv when the (block_q, kv) f32 score tile is ~<=4MB
+            block_k = (
+                kv_pad if block_q * kv_pad * 4 <= 4 * 1024 * 1024 else 512
+            )
     q_pad = _round_up(s_q, block_q)
     kv_pad = _round_up(s_kv, block_k)
     d_pad = _round_up(d, 128)
@@ -86,64 +452,16 @@ def _flash_attention_padded(
     def pad(x, s_pad):
         return jnp.pad(
             x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, d_pad - d))
+        ).reshape(b * h, s_pad, d_pad)
+
+    if dropout_seed is None:
+        seed = jnp.zeros((1, 128), jnp.int32)
+    else:
+        seed = jnp.tile(
+            jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1), (1, 128)
         )
-
-    qp = pad(q, q_pad).reshape(b * h, q_pad, d_pad)
-    kp = pad(k, kv_pad).reshape(b * h, kv_pad, d_pad)
-    vp = pad(v, kv_pad).reshape(b * h, kv_pad, d_pad)
-
-    grid = (b * h, q_pad // block_q)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, q_pad, d_pad), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (None, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, kv_pad, d_pad), lambda bh, qi: (bh, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, kv_pad, d_pad), lambda bh, qi: (bh, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, block_q, d_pad), lambda bh, qi: (bh, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        interpret=interpret,
-    )(qp, kp, vp)
-    return out.reshape(b, h, q_pad, d_pad)[:, :, :s_q, :d]
-
-
-def flash_attention(
-    q, k, v, *, mask=None, scale=None, block_q: int | None = None,
-    block_k: int | None = None, interpret: bool = False
-):
-    """Unmasked flash attention over (B, H, S, D).  Raises NotImplementedError
-    for masked attention (the wrapper's jnp path handles those).
-
-    Default blocks are tuned for v5e at the framework's native S≈1655:
-    q-block 512 and the whole (padded) kv in one block when the f32 score
-    tile fits VMEM (~19.9 TFLOP/s bf16 vs 13.5 for the XLA fused path);
-    longer sequences fall back to the streaming online-softmax loop.
-    """
-    if mask is not None:
-        raise NotImplementedError("flash kernel is unmasked-only")
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    s_q, s_kv = q.shape[2], k.shape[2]
-    if block_q is None:
-        block_q = min(512, _round_up(s_q, 128))
-    if block_k is None:
-        kv_pad = _round_up(s_kv, 128)
-        # single-block kv when the (block_q, kv) f32 score tile is ~<=4MB
-        block_k = kv_pad if block_q * kv_pad * 4 <= 4 * 1024 * 1024 else 512
-    return _flash_attention_padded(
-        q, k, v, scale=float(scale), block_q=block_q, block_k=block_k,
-        interpret=interpret,
+    out = _flash_core(
+        pad(q, q_pad), pad(k, kv_pad), pad(v, kv_pad), seed,
+        s_kv, float(scale), block_q, block_k, float(dropout_rate), interpret,
     )
+    return out.reshape(b, h, q_pad, d_pad)[:, :, :s_q, :d]

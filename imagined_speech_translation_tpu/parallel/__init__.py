@@ -6,6 +6,11 @@ batch sharded over ``data`` (gradient all-reduce emerges from the global-mean
 semantics under jit), optional tensor parallelism of the BART FFN/attention
 over ``model``, XLA inserting the collectives."""
 
+from .distributed import (  # noqa: F401
+    initialize_distributed,
+    is_primary,
+    sync_hosts,
+)
 from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,

@@ -27,17 +27,45 @@ def make_mesh(
     n_data: int = -1,
     n_model: int = 1,
     *,
+    n_dcn: int = 1,
     axis_names: tuple[str, str] = ("data", "model"),
     devices=None,
 ) -> Mesh:
+    """(data, model) mesh over ICI; ``n_dcn > 1`` prepends a ``dcn`` axis for
+    multi-slice data parallelism (axes become ``('dcn', data, model)``).
+
+    On a real multi-host cluster the dcn axis maps across slices via
+    ``mesh_utils.create_hybrid_device_mesh`` so intra-slice collectives ride
+    ICI and only the dcn-axis gradient reduction crosses the data-center
+    network; single-process (tests, virtual CPU meshes) falls back to a plain
+    reshape with the same axis semantics."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data == -1:
-        if n % n_model:
-            raise ValueError(f"{n} devices not divisible by model={n_model}")
-        n_data = n // n_model
-    if n_data * n_model > n:
-        raise ValueError(f"mesh {n_data}x{n_model} needs more than {n} devices")
+        if n % (n_model * n_dcn):
+            raise ValueError(
+                f"{n} devices not divisible by model={n_model} x dcn={n_dcn}"
+            )
+        n_data = n // (n_model * n_dcn)
+    if n_dcn * n_data * n_model > n:
+        raise ValueError(
+            f"mesh {n_dcn}x{n_data}x{n_model} needs more than {n} devices"
+        )
+    if n_dcn > 1:
+        dcn_names = ("dcn",) + tuple(axis_names)
+        if jax.process_count() > 1:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (n_data, n_model),
+                dcn_mesh_shape=(n_dcn, 1),
+                devices=devices,
+            ).reshape(n_dcn, n_data, n_model)
+            return Mesh(grid, dcn_names)
+        grid = np.asarray(devices[: n_dcn * n_data * n_model]).reshape(
+            n_dcn, n_data, n_model
+        )
+        return Mesh(grid, dcn_names)
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names)
 
@@ -96,14 +124,18 @@ def shard_train_state(state, mesh: Mesh, *, tp: bool = False):
 
 
 def batch_sharding(mesh: Mesh, batch: dict, *, batch_axis: int = 0):
-    """Shardings for a batch dict: leading (or given) axis over ``data``;
-    ``channel_mask`` replicated."""
+    """Shardings for a batch dict: leading (or given) axis over ``data``
+    (jointly over ``('dcn', 'data')`` on a hybrid mesh); ``channel_mask``
+    replicated."""
+    data_axes = (
+        ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+    )
 
     def spec(k, v):
         if k == "channel_mask" or not hasattr(v, "ndim"):
             return NamedSharding(mesh, P())
         axes: list = [None] * v.ndim
-        axes[batch_axis] = "data"
+        axes[batch_axis] = data_axes
         return NamedSharding(mesh, P(*axes))
 
     return {k: spec(k, v) for k, v in batch.items()}

@@ -14,6 +14,7 @@ from .protocol import (  # noqa: F401
     encode_binary_frame,
     encode_text_frame,
 )
+from .auth import make_token_authenticator, sign_token, verify_token  # noqa: F401
 from .dsl import DslError, FunctionCall, Parser  # noqa: F401
 from .session import Session, SessionRegistry  # noqa: F401
 from .streaming import (  # noqa: F401

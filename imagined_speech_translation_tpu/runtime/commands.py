@@ -21,7 +21,10 @@ def build_command_registry(
     *,
     registry: SessionRegistry | None = None,
 ) -> SessionRegistry:
-    reg = registry or SessionRegistry()
+    # NOT `registry or ...`: SessionRegistry defines __len__, so an empty
+    # (zero-session) registry is falsy and would be silently replaced —
+    # dropping the caller's authenticator.
+    reg = registry if registry is not None else SessionRegistry()
     store = services.store
 
     def skey(session: Session, name: str) -> str:
@@ -92,19 +95,23 @@ def build_command_registry(
 
     @reg.command("vision")
     async def vision(session, args):
-        # base64 image + prompt -> description (reference: session.js:114-124)
+        # base64 image + prompt -> multimodal LLM call on the decoded bytes
+        # (reference: inlineData base64 image to Gemini, session.js:114-124)
         image_b64 = args[0] if args else ""
         prompt = args[1] if len(args) > 1 else "describe"
-        return {
-            "response": await services.llm.generate(
-                f"[image:{len(image_b64)}b64] {prompt}"
-            )
-        }
+        try:
+            image = base64.b64decode(image_b64, validate=True)
+        except Exception:
+            return {"error": "invalid base64 image"}
+        return {"response": await services.llm.describe_image(image, prompt)}
 
     # -- speech / media ---------------------------------------------------
     @reg.command("speak")
     async def speak(session, args):
-        pcm = await services.tts.synthesize(args[0] if args else "")
+        # per-user TTS cache (reference: audio.js:23-82 caches per key)
+        pcm = await services.tts.synthesize(
+            args[0] if args else "", session.user_id or session.access_key
+        )
         return {"pcm_bytes": len(pcm)}
 
     @reg.command("stream_song")

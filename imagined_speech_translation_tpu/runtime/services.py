@@ -22,16 +22,20 @@ from typing import Any, Protocol
 
 
 class LLMService(Protocol):
-    """Chat + one-shot generation (reference: Gemini via wss/func/model.js)."""
+    """Chat + one-shot generation + image understanding (reference: Gemini
+    via wss/func/model.js; base64-image vision call session.js:114-124)."""
 
     async def chat(self, session_id: str, prompt: str) -> str: ...
     async def generate(self, prompt: str) -> str: ...
+    async def describe_image(self, image: bytes, prompt: str) -> str: ...
 
 
 class TTSService(Protocol):
-    """Text → PCM bytes (reference: Google TTS, wss/func/audio.js)."""
+    """Text → PCM bytes (reference: Google TTS, wss/func/audio.js).
 
-    async def synthesize(self, text: str) -> bytes: ...
+    ``user`` keys the per-user cache (audio.js caches WAV per access key)."""
+
+    async def synthesize(self, text: str, user: str = "") -> bytes: ...
 
 
 class STTService(Protocol):
@@ -97,15 +101,77 @@ class EchoLLM:
     async def generate(self, prompt: str) -> str:
         return f"summary:{prompt[:64]}"
 
+    async def describe_image(self, image: bytes, prompt: str) -> str:
+        """Deterministic image 'understanding': parses real PNG/JPEG headers
+        so the vision path is exercised on actual bytes, not a string stub."""
+        kind, w, h = _image_info(image)
+        return f"[{kind} {w}x{h}, {len(image)}B] {prompt}"
+
+
+def _image_info(data: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from PNG/JPEG headers; ('raw', 0, 0) else."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return "png", w, h
+    if data[:2] == b"\xff\xd8":  # JPEG: scan for a SOFn marker
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            size = int.from_bytes(data[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return "jpeg", w, h
+            i += 2 + size
+        return "jpeg", 0, 0
+    return "raw", 0, 0
+
 
 class SilentTTS:
     """16-bit PCM of silence sized to the text (deterministic, testable)."""
 
     sample_rate = 24000
 
-    async def synthesize(self, text: str) -> bytes:
+    async def synthesize(self, text: str, user: str = "") -> bytes:
         n = max(len(text) * 240, 240)
         return b"\x00\x00" * n
+
+
+class CachingTTS:
+    """Per-user synthesis cache (reference: ``wss/func/audio.js:23-82``
+    caches the synthesized WAV under ``./audio/<access_key>/``).
+
+    Wraps any TTSService; repeated texts per user return the cached PCM
+    without touching the backend.  ``cache_info()`` exposes hit/miss counts."""
+
+    def __init__(self, inner: Any = None, *, max_entries_per_user: int = 256):
+        self.inner = inner or SilentTTS()
+        self.max_entries_per_user = max_entries_per_user
+        self._cache: dict[str, dict[str, bytes]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    async def synthesize(self, text: str, user: str = "") -> bytes:
+        per_user = self._cache.setdefault(user, {})
+        if text in per_user:
+            self.hits += 1
+            return per_user[text]
+        self.misses += 1
+        pcm = await self.inner.synthesize(text, user)
+        if len(per_user) >= self.max_entries_per_user:
+            per_user.pop(next(iter(per_user)))  # FIFO eviction
+        per_user[text] = pcm
+        return pcm
+
+    def cache_info(self) -> dict[str, int]:
+        return {
+            "hits": self.hits,
+            "misses": self.misses,
+            "users": len(self._cache),
+        }
 
 
 class EchoSTT:
@@ -238,7 +304,7 @@ class ServiceBundle:
     """Everything the command plane and action registry need."""
 
     llm: Any = field(default_factory=EchoLLM)
-    tts: Any = field(default_factory=SilentTTS)
+    tts: Any = field(default_factory=CachingTTS)
     stt: Any = field(default_factory=EchoSTT)
     maps: Any = field(default_factory=StaticMaps)
     music: Any = field(default_factory=SilentMusic)

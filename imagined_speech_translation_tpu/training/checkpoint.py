@@ -32,12 +32,25 @@ class CheckpointManager:
 
     # ------------------------------------------------------------------
     def _save(self, name: str, state, meta: dict[str, Any]):
+        from ..parallel.distributed import is_primary, sync_hosts
+
         path = self.dir / name
-        if path.exists():
+        multihost = jax.process_count() > 1
+        if is_primary() and path.exists():
             shutil.rmtree(path)
-        self._ckptr.save(path / "state", jax.tree.map(np.asarray, _as_pytree(state)))
+        sync_hosts("ckpt_clear")
+        if multihost:
+            # leave arrays on device: orbax gathers the shards of
+            # jax.Arrays across processes (np.asarray would only see the
+            # locally-addressable shards)
+            tree = _as_pytree(state)
+        else:
+            tree = jax.tree.map(np.asarray, _as_pytree(state))
+        self._ckptr.save(path / "state", tree)
         self._ckptr.wait_until_finished()
-        (path / "meta.json").write_text(json.dumps(meta, default=_js))
+        if is_primary():
+            (path / "meta.json").write_text(json.dumps(meta, default=_js))
+        sync_hosts("ckpt_done")
 
     def save_best(self, state, meta):
         self._save("best_model", state, meta)
@@ -50,6 +63,10 @@ class CheckpointManager:
         self._save("interrupted_checkpoint", state, meta)
 
     def _gc_epochs(self):
+        from ..parallel.distributed import is_primary
+
+        if not is_primary():
+            return
         epochs = sorted(
             (p for p in self.dir.glob("checkpoint_epoch_*")),
             key=lambda p: int(p.name.rsplit("_", 1)[1]),
@@ -62,9 +79,13 @@ class CheckpointManager:
         """Restore into the structure of ``target_state``; returns
         (state, meta)."""
         path = self.dir / name
-        restored = self._ckptr.restore(
-            path / "state", jax.tree.map(np.asarray, _as_pytree(target_state))
-        )
+        if jax.process_count() > 1:
+            # restore against the live (sharded) target so each process gets
+            # its addressable shards back with the same NamedShardings
+            template = _as_pytree(target_state)
+        else:
+            template = jax.tree.map(np.asarray, _as_pytree(target_state))
+        restored = self._ckptr.restore(path / "state", template)
         meta = json.loads((path / "meta.json").read_text())
         return target_state.replace(**restored), meta
 

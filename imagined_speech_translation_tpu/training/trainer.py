@@ -350,6 +350,17 @@ class EEGTrainer:
                         "epoch": epoch,
                     }
                 )
+                # example prediction/target table (reference logs one per
+                # epoch to wandb, trainer.py:481-511)
+                if val.get("predictions"):
+                    self.mlog.log_table(
+                        "val/examples",
+                        ["epoch", "prediction", "target"],
+                        [
+                            (epoch, p, t)
+                            for p, t in zip(val["predictions"], val["targets"])
+                        ],
+                    )
                 bleu4 = val.get("bleu_4", 0.0)
                 diversity = val.get("diversity_score", 0.0)
                 repetitive = bool(val.get("is_repetitive", True))

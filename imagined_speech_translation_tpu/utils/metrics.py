@@ -25,6 +25,17 @@ class MetricLogger:
     def log_summary(self, metrics: Mapping[str, Any]) -> None:
         self.log(dict(metrics, _summary=True))
 
+    def log_table(
+        self, name: str, columns: list[str], rows: list, step: int | None = None
+    ) -> None:
+        """Example tables (reference: per-epoch prediction/target wandb
+        tables, trainer.py:481-511).  Default: one structured log record."""
+        self.log(
+            {"_table": name, "columns": list(columns),
+             "rows": [list(r) for r in rows]},
+            step=step,
+        )
+
     def finish(self) -> None:
         pass
 
@@ -68,6 +79,10 @@ class TeeLogger(MetricLogger):
         for lg in self.loggers:
             lg.log(metrics, step=step)
 
+    def log_table(self, name, columns, rows, step=None):
+        for lg in self.loggers:
+            lg.log_table(name, columns, rows, step=step)
+
     def finish(self):
         for lg in self.loggers:
             lg.finish()
@@ -81,6 +96,12 @@ class WandbLogger(MetricLogger):
 
     def log(self, metrics, step=None):
         self.run.log(dict(metrics), step=step)
+
+    def log_table(self, name, columns, rows, step=None):
+        import wandb
+
+        table = wandb.Table(columns=list(columns), data=[list(r) for r in rows])
+        self.run.log({name: table}, step=step)
 
     def finish(self):
         self.run.finish()

@@ -32,6 +32,68 @@ def test_flash_unaligned_shapes():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_grad_matches_jnp_interpret():
+    # the custom VJP (FlashAttention-2 style dq / dkv kernels) against
+    # jax.grad through the jnp oracle
+    q, k, v = _qkv(b=1, h=2, s=200, d=96, seed=4)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        from imagined_speech_translation_tpu.ops.attention import _jnp_attention
+
+        return (_jnp_attention(q, k, v, None, scale) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_grad_unaligned_blocks_interpret():
+    # odd seq + multi-block kv so the padded-tail masking runs in backward
+    q, k, v = _qkv(b=1, h=1, s=333, d=48, seed=5)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_flash(q, k, v):
+        return flash_attention(
+            q, k, v, interpret=True, block_q=128, block_k=128
+        ).sum()
+
+    def loss_ref(q, k, v):
+        from imagined_speech_translation_tpu.ops.attention import _jnp_attention
+
+        return _jnp_attention(q, k, v, None, scale).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_dropout_requires_seed():
+    q, k, v = _qkv(s=128)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, dropout_rate=0.1, interpret=True)
+
+
+def test_wrapper_dropout_jnp_path():
+    # jnp dropout: zeros appear, scaling preserves the mean, rng-deterministic
+    q, k, v = _qkv(b=1, h=2, s=64, d=32, seed=6)
+    rng = jax.random.PRNGKey(0)
+    out = dot_product_attention(
+        q, k, v, impl="jnp", dropout_rate=0.5, dropout_rng=rng
+    )
+    out2 = dot_product_attention(
+        q, k, v, impl="jnp", dropout_rate=0.5, dropout_rng=rng
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    ref = dot_product_attention(q, k, v, impl="jnp")
+    assert not np.allclose(np.asarray(out), np.asarray(ref))
+
+
 def test_flash_rejects_mask():
     q, k, v = _qkv(s=128)
     with pytest.raises(NotImplementedError):

@@ -158,6 +158,53 @@ def test_data_parallel_generate_matches_single_device(setup, eight_devices):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_dcn_mesh_shapes(eight_devices):
+    mesh = make_mesh(2, 2, n_dcn=2)
+    assert mesh.shape == {"dcn": 2, "data": 2, "model": 2}
+    mesh2 = make_mesh(-1, 2, n_dcn=2)
+    assert mesh2.shape == {"dcn": 2, "data": 2, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, 1, n_dcn=2)
+
+
+def test_dcn_batch_sharding(setup, eight_devices):
+    cfg, module, optimizer, bow, state, batch = setup
+    mesh = make_mesh(2, 2, n_dcn=2)
+    sh = batch_sharding(mesh, batch, batch_axis=1)
+    assert tuple(sh["eeg"].spec)[1] == ("dcn", "data")
+
+
+def test_dcn_step_matches_single_device(setup, eight_devices):
+    """Full train step on a 2(dcn)x2(data)x2(model) hybrid mesh ≡ single
+    device — the multi-slice sharding compiles and reduces correctly."""
+    cfg, module, optimizer, bow, state, batch = setup
+    step = make_train_step(module, optimizer, cfg, bow)
+    rng = jax.random.key(7)
+    s1, m1 = jax.jit(step)(state, batch, rng)
+
+    mesh = make_mesh(2, 2, n_dcn=2)
+    sharded_state = shard_train_state(state, mesh, tp=True)
+    sharded_batch = shard_batch(mesh, batch, batch_axis=1)
+    sharded_batch["channel_mask"] = batch["channel_mask"]
+    s2, m2 = jax.jit(step)(sharded_state, sharded_batch, rng)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_distributed_helpers_single_process():
+    from imagined_speech_translation_tpu.parallel import (
+        initialize_distributed,
+        is_primary,
+        sync_hosts,
+    )
+
+    # no coordinator configured -> no-op, single-process semantics
+    assert initialize_distributed() is False
+    assert is_primary() is True
+    sync_hosts()  # no-op
+
+
 def test_batch_sharding_specs(setup, eight_devices):
     cfg, module, optimizer, bow, state, batch = setup
     mesh = make_mesh(4, 2)

@@ -161,3 +161,152 @@ def test_calendar_update_delete(bundle):
         assert (await parser.execute("get_calendar_events()"))[0] == "no events"
 
     run(flow())
+
+
+# ---------------------------------------------------------------------------
+# round 2: TTS cache, real vision path, JWT auth, DSL fuzz
+# ---------------------------------------------------------------------------
+
+
+def test_tts_cache_per_user(bundle):
+    from imagined_speech_translation_tpu.runtime.services import CachingTTS
+
+    assert isinstance(bundle.tts, CachingTTS)  # default mirrors audio.js
+
+    async def flow():
+        a1 = await bundle.tts.synthesize("hello", "alice")
+        a2 = await bundle.tts.synthesize("hello", "alice")
+        b1 = await bundle.tts.synthesize("hello", "bob")
+        assert a1 == a2 == b1
+        info = bundle.tts.cache_info()
+        assert info["hits"] == 1 and info["misses"] == 2 and info["users"] == 2
+
+    run(flow())
+
+
+def test_speak_command_hits_cache(registry, bundle):
+    async def flow():
+        key = await _auth(registry)
+        await registry.dispatch(TextFrame("speak", key, ("same text",)))
+        await registry.dispatch(TextFrame("speak", key, ("same text",)))
+        assert bundle.tts.cache_info()["hits"] == 1
+
+    run(flow())
+
+
+def test_vision_decodes_real_image(registry):
+    import base64
+    import struct
+
+    # minimal valid PNG header: 8-byte signature + IHDR with 32x16 dims
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 32, 16, 8, 6, 0, 0, 0)
+    )
+
+    async def flow():
+        key = await _auth(registry)
+        out = await registry.dispatch(
+            TextFrame("vision", key, (base64.b64encode(png).decode(), "what"))
+        )
+        assert "png 32x16" in out["response"]
+        bad = await registry.dispatch(TextFrame("vision", key, ("@@not-b64@@",)))
+        assert "error" in bad
+
+    run(flow())
+
+
+def test_jwt_authenticator_accept_and_reject():
+    from imagined_speech_translation_tpu.runtime import (
+        SessionRegistry,
+        make_token_authenticator,
+        sign_token,
+        verify_token,
+    )
+
+    secret = "test-secret"
+    token = sign_token({"email": "a@b.com"}, secret)
+    assert verify_token(token, secret)["email"] == "a@b.com"
+    # tampered signature / wrong secret / expired / malformed all rejected
+    assert verify_token(token + "x", secret) is None
+    assert verify_token(token, "other") is None
+    expired = sign_token({"email": "a@b.com", "exp": 1}, secret, ttl_s=None)
+    assert verify_token(expired, secret) is None
+    assert verify_token("not.a.jwt", secret) is None
+    assert verify_token("a.b", secret) is None
+
+    reg = SessionRegistry(authenticator=make_token_authenticator(secret))
+
+    async def flow():
+        key = await reg.dispatch(TextFrame("authentication", token))
+        assert reg.get(key).user_id == "a@b.com"
+        with pytest.raises(PermissionError):
+            await reg.dispatch(TextFrame("authentication", "garbage"))
+
+    run(flow())
+
+
+def test_dsl_fuzz_never_crashes_parser(bundle):
+    """1k generated programs (valid grammar + mutated garbage): the parser
+    either parses or raises DslError — no other exception escapes
+    (reference behavior: graceful degradation, speak the raw LLM output)."""
+    import random
+
+    from imagined_speech_translation_tpu.runtime.dsl import DslError
+
+    rng = random.Random(42)
+    names = list(REGISTRY_NAMES)[:12] + ["unknown_fn"]
+    parser = Parser()
+
+    def gen_expr(depth=0):
+        r = rng.random()
+        if depth > 2 or r < 0.5:
+            chars = "abc ,()|^¬\\"
+            return "|" + "".join(
+                rng.choice(chars[:4]) for _ in range(rng.randint(0, 6))
+            ) + "|"
+        if r < 0.8:
+            return gen_call(depth + 1)
+        return gen_expr(depth + 1) + "^" + gen_expr(depth + 1)
+
+    def gen_call(depth=0):
+        n = rng.randint(0, 3)
+        return rng.choice(names) + "(" + ",".join(
+            gen_expr(depth) for _ in range(n)
+        ) + ")"
+
+    for i in range(1000):
+        prog = "¬".join(gen_call() for _ in range(rng.randint(1, 4)))
+        if i % 3 == 0:  # mutate into likely-garbage
+            pos = rng.randrange(max(len(prog), 1))
+            prog = prog[:pos] + rng.choice("()|^¬,x") + prog[pos + 1:]
+        try:
+            parser.parse(prog)
+        except DslError:
+            pass  # graceful reject is the contract
+
+
+def test_command_registry_keeps_caller_authenticator():
+    """Regression: SessionRegistry.__len__ makes an empty registry falsy;
+    `registry or SessionRegistry()` silently replaced the caller's registry
+    and its authenticator with an accept-all default."""
+    from imagined_speech_translation_tpu.runtime import (
+        SessionRegistry,
+        make_token_authenticator,
+    )
+    from imagined_speech_translation_tpu.runtime.commands import (
+        build_command_registry,
+    )
+    from imagined_speech_translation_tpu.runtime.services import ServiceBundle
+
+    reg0 = SessionRegistry(authenticator=make_token_authenticator("s"))
+    reg = build_command_registry(ServiceBundle(), registry=reg0)
+    assert reg is reg0
+
+    async def flow():
+        with pytest.raises(PermissionError):
+            await reg.dispatch(TextFrame("authentication", "garbage-token"))
+
+    run(flow())
