@@ -61,6 +61,13 @@ def main(argv=None) -> float:
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    if args.platform:
+        import os
+
+        import jax
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        jax.config.update("jax_platforms", args.platform)
     from ..utils.cache import enable_persistent_cache
     enable_persistent_cache()
     cfg = load_config(args.config, args.overrides)

@@ -61,25 +61,49 @@ def make_synthetic_corpus(
     n_timepoints: int = 256,
     texts=DEFAULT_TEXTS,
     seed: int = 0,
+    class_conditioned: bool = False,
+    noise_scale: float = 1.0,
 ) -> list[Path]:
     """Write pickle files; EEG is band-limited noise with per-channel offsets
-    so robust scaling is non-trivial."""
+    so robust scaling is non-trivial.
+
+    ``class_conditioned=True`` makes the EEG *decodable*: each text gets a
+    fixed per-channel oscillatory signature (distinct frequency/phase mix)
+    that is added under the noise, so a model can generalize text from
+    held-out windows — the training-proof corpus (imagined-speech stand-in
+    with a learnable signal, unlike the pure-noise default).
+    """
     out_dir = Path(data_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
+    t = np.arange(n_timepoints) / 256.0
+    signatures = {}
+    if class_conditioned:
+        sig_rng = np.random.default_rng(seed + 1)
+        for k_text, text in enumerate(texts):
+            freqs = sig_rng.uniform(2.0, 40.0, (n_channels, 3))
+            phases = sig_rng.uniform(0, 2 * np.pi, (n_channels, 3))
+            amps = sig_rng.uniform(0.5, 2.0, (n_channels, 3))
+            signatures[text] = (
+                amps[:, :, None]
+                * np.sin(2 * np.pi * freqs[:, :, None] * t + phases[:, :, None])
+            ).sum(axis=1)[None]  # (1, C, T)
     paths = []
     k = 0
     for f in range(n_files):
         samples = []
         for _ in range(samples_per_file):
-            base = rng.normal(0, 1, (1, n_channels, n_timepoints))
+            text = texts[k % len(texts)]
+            base = rng.normal(0, noise_scale, (1, n_channels, n_timepoints))
             drift = rng.normal(0, 5, (1, n_channels, 1))
             scalep = rng.uniform(0.5, 3.0, (1, n_channels, 1))
-            eeg = (base * scalep + drift).astype(np.float32)
+            eeg = base * scalep + drift
+            if class_conditioned:
+                eeg = eeg + 3.0 * scalep * signatures[text]
             samples.append(
                 {
-                    "input_features": eeg,
-                    "text": texts[k % len(texts)],
+                    "input_features": eeg.astype(np.float32),
+                    "text": text,
                 }
             )
             k += 1

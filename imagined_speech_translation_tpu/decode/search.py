@@ -7,15 +7,21 @@ generation block of ``config/training_config.py:32-39``):
 * sequences start at ``decoder_start_token_id``; total length counts that
   token; generation stops at ``max_length``;
 * ``MinLengthLogitsProcessor``: EOS banned while ``cur_len < min_length``;
-* beam bookkeeping matches ``BeamSearchScorer``: 2K candidates per step, EOS
-  candidates ranked ≥ K are dropped, EOS candidates ranked < K move the beam
-  into the finished set with score ``sum_logprob / len**length_penalty``
-  (length excluding EOS), alive beams refilled from the best non-EOS
-  candidates; ``early_stopping=True`` finishes a batch row once K finished
-  hypotheses exist; at ``max_length`` alive beams are finalized in beam
-  order; EOS is appended to finished sequences when it fits;
+* beam bookkeeping matches the vectorized ``GenerationMixin._beam_search``
+  (transformers ≥4.46): 2K candidates per step; a rank-<K candidate
+  *finishes* when it selects EOS or when the step writes the final
+  (``max_length``-th) position; finished score =
+  ``sum_logprob / n_generated**length_penalty`` with ``n_generated``
+  counting the finishing token but not the decoder start; the finished set
+  is the running top-K of (old hyps ∪ finishing candidates) with ties kept
+  by the incumbent; alive beams refill from the best non-finishing
+  candidates; ``early_stopping=True`` freezes a row once K hypotheses
+  exist, ``early_stopping=False`` freezes when the worst finished score
+  can no longer be beaten by the best running beam finishing at the
+  current length;
 * token-identical to HF on the same logits — pinned by
-  ``tests/test_bart_parity.py`` against torch BART.
+  ``tests/test_bart_parity.py`` (reference operating point) and fuzzed
+  across K/length-penalty/early-stopping in ``tests/test_beam_fuzz.py``.
 
 The model is abstracted as ``step_fn(tokens, positions, caches) ->
 (logits, caches)`` over flattened ``(batch*beams, 1)`` token slabs, with all
@@ -185,25 +191,33 @@ def beam_search(
         is_eos = cand_tok == p.eos_token_id
 
         # ---- finished-hypothesis updates ----------------------------------
-        # BeamSearchScorer.process walks candidates in rank order, appending
-        # while len < K and then replacing the worst when strictly better.
-        # That tournament keeps exactly the K best of (old hyps ∪ eligible
-        # candidates), so one vectorized union→top-K merge is equivalent
-        # (ties keep the incumbent: the union lists old hyps first and top_k
-        # breaks ties by index, matching HF's strict `score > worst`).
-        norm = cur.astype(jnp.float32) ** p.length_penalty  # length excl. EOS
-        eligible = is_eos[:, :K] & ~done[:, None]  # EOS ranked ≥ K is dropped
+        # HF _beam_search._update_finished_beams: a rank-<K candidate
+        # finishes when it hits a stopping criterion — EOS, or the step that
+        # writes the final (max_length-th) position.  The finished set is the
+        # top-K of (old hyps ∪ finishing candidates); one vectorized
+        # union→top-K merge reproduces it exactly (ties keep the incumbent:
+        # the union lists old hyps first and top_k breaks ties by index,
+        # matching HF's merged torch.topk over the same ordering).
+        # Score = accumulated logprob / n_generated**lp, where n_generated
+        # counts the finishing token but not the decoder start — i.e. `cur`.
+        norm = cur.astype(jnp.float32) ** p.length_penalty
+        is_final = cur == (L - 1)  # this step writes the last position
+        finishing = is_eos[:, :K] | is_final  # candidates ranked ≥ K drop
+        eligible = finishing & ~done[:, None]
         cand_fin_scores = jnp.where(
             eligible, cand_scores[:, :K] / norm, NEG_INF
         )  # (B, K)
         cand_fin_seqs = jnp.take_along_axis(
             seqs, cand_beam[:, :K, None], axis=1
-        )  # (B, K, L) parent-beam tokens (EOS not stored, HF hyp excludes it)
+        )  # (B, K, L) parent-beam tokens
+        cand_fin_seqs = jax.lax.dynamic_update_slice(
+            cand_fin_seqs, cand_tok[:, :K, None], (0, 0, cur)
+        )  # finishing token (EOS or final token) stored in the hypothesis
         union_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
         union_seqs = jnp.concatenate([fin_seqs, cand_fin_seqs], axis=1)
         union_lens = jnp.concatenate(
-            [fin_lens, jnp.full((batch, K), cur, jnp.int32)], axis=1
-        )
+            [fin_lens, jnp.full((batch, K), cur + 1, jnp.int32)], axis=1
+        )  # token count including decoder start and the finishing token
         fin_scores, keep = jax.lax.top_k(union_scores, K)  # (B, K)
         fin_seqs = jnp.take_along_axis(union_seqs, keep[:, :, None], axis=1)
         fin_lens = jnp.take_along_axis(union_lens, keep, axis=1)
@@ -211,8 +225,10 @@ def beam_search(
             fin_count + eligible.sum(axis=1, dtype=jnp.int32), K
         )
 
-        # ---- refill alive beams from best non-EOS candidates --------------
-        alive_cand = jnp.where(is_eos, NEG_INF, cand_scores)
+        # ---- refill alive beams from best non-finishing candidates --------
+        alive_cand = jnp.where(
+            is_eos | is_final, NEG_INF, cand_scores
+        )
         new_scores, pick = jax.lax.top_k(alive_cand, K)  # (B, K) over 2K slots
         new_beam = jnp.take_along_axis(cand_beam, pick, axis=1)
         new_tok = jnp.take_along_axis(cand_tok, pick, axis=1)
@@ -230,15 +246,15 @@ def beam_search(
         )
         caches = _gather_beams(caches, parent, batch, K)
 
-        # early stopping per HF (early_stopping=True): K finished hyps
+        # row freezing per HF: early_stopping=True freezes once all K slots
+        # hold finished hyps; early_stopping=False applies the
+        # _check_early_stop_heuristic — freeze when the best running beam,
+        # finishing at the current generated length (`cur`), can no longer
+        # beat the worst of K finished scores (strict `>` keeps going).
         if p.early_stopping:
             newly_done = fin_count >= K
         else:
-            # HF is_done(early_stopping=False): worst finished >= best alive
-            # normalized at the current length
-            cur_best = jnp.max(new_scores, axis=1) / (
-                (cur + 1).astype(jnp.float32) ** p.length_penalty
-            )
+            cur_best = jnp.max(new_scores, axis=1) / norm
             newly_done = (fin_count >= K) & (
                 jnp.min(fin_scores, axis=1) >= cur_best
             )
@@ -250,27 +266,25 @@ def beam_search(
     (cur, seqs, alive_scores, fin_seqs, fin_scores, fin_lens, fin_count, done,
      _) = jax.lax.while_loop(cond, body, state)
 
-    # ---- finalize: add alive beams for rows without K finished hyps -------
-    # Same union→top-K merge as in the loop body (BeamSearchScorer.finalize
-    # adds alive beams in beam order with the identical tournament rule).
-    norm = cur.astype(jnp.float32) ** p.length_penalty
-    alive_fin_scores = jnp.where(
-        ~done[:, None], alive_scores / norm, NEG_INF
-    )  # (B, K)
-    union_scores = jnp.concatenate([fin_scores, alive_fin_scores], axis=1)
-    union_seqs = jnp.concatenate([fin_seqs, seqs], axis=1)
-    union_lens = jnp.concatenate(
-        [fin_lens, jnp.full((batch, K), cur, jnp.int32)], axis=1
-    )
-    fin_scores, keep = jax.lax.top_k(union_scores, K)
-    fin_seqs = jnp.take_along_axis(union_seqs, keep[:, :, None], axis=1)
-    fin_lens = jnp.take_along_axis(union_lens, keep, axis=1)
-
-    # best hypothesis per row; append EOS when it fits (HF finalize)
+    # ---- output: best hypothesis per row ----------------------------------
+    # No post-loop finalize: the final step's in-loop merge already captured
+    # the running beams (every rank-<K candidate finishes at max_length).
+    # The finishing token (EOS or final token) is stored in the hypothesis;
+    # positions past the stored length are padded (HF fills with pad_token).
     best = jnp.argmax(fin_scores, axis=1)
     out = fin_seqs[jnp.arange(batch), best]
     lens = fin_lens[jnp.arange(batch), best]
     col = jnp.arange(L)[None]
-    out = jnp.where(col == lens[:, None], p.eos_token_id, out)
-    out = jnp.where(col > lens[:, None], p.pad_token_id, out)
-    return out
+    # HF fills its static output buffer with `pad_token_id or eos_token_id`
+    # — Python truthiness, so pad_token_id == 0 (the BERT-vocab pad) fills
+    # with EOS — then crops at the longest selected hypothesis.  Rows
+    # shorter than the batch max therefore carry EOS (not pad) up to the
+    # crop point; positions past it are pad (the crop, under this module's
+    # static (B, L) output shape).
+    fill = p.pad_token_id if p.pad_token_id != 0 else p.eos_token_id
+    batch_max = jnp.max(lens)
+    return jnp.where(
+        col >= lens[:, None],
+        jnp.where(col < batch_max, fill, p.pad_token_id),
+        out,
+    )
