@@ -277,10 +277,12 @@ class TrainingConfig:
     bleu_tolerance_frac: float = 0.9  # secondary selection path
     collapse_tolerance: int = 3       # repetitive-collapse counter (trainer.py:400-443)
     log_every_steps: int = 50
-    # bf16 compute with float32 master params/optimizer state (the reference
-    # ran fp32: config.yaml `mixed_precision: false`; on TPU bf16 is the
-    # MXU-native path)
-    mixed_precision: bool = False
+    # bf16 compute with float32 master params/optimizer state.  Divergence
+    # from the reference (config.yaml `mixed_precision: false`): bf16 is the
+    # MXU-native path and measures faster end-to-end with the flash training
+    # kernels (33 vs 28 samples/s, tools/tpu_train_bench.py); set false to
+    # reproduce the reference numerics exactly.
+    mixed_precision: bool = True
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)

@@ -15,6 +15,11 @@ from .protocol import (  # noqa: F401
     encode_text_frame,
 )
 from .auth import make_token_authenticator, sign_token, verify_token  # noqa: F401
+from .personalization import (  # noqa: F401
+    PersonalizationCrawler,
+    parse_wifi_qr,
+    wifi_qr_payload,
+)
 from .dsl import DslError, FunctionCall, Parser  # noqa: F401
 from .session import Session, SessionRegistry  # noqa: F401
 from .streaming import (  # noqa: F401

@@ -80,12 +80,21 @@ def create_train_state(
     optimizer: optax.GradientTransformation,
     loss_weights: dict[str, float],
 ) -> TrainState:
-    variables = module.init(
+    # jit the whole init: un-jitted flax init dispatches thousands of tiny
+    # ops eagerly (minutes over a remote-TPU tunnel), and XLA can only
+    # dead-code-eliminate the traced forward pass inside a compiled program
+    # (init runs the model forward for shape inference; only the variables
+    # are needed).  One cacheable executable instead.
+    init_fn = jax.jit(
+        lambda r, eeg, ids, mask: module.init(
+            r, eeg, ids, mask, method="init_all"
+        )
+    )
+    variables = init_fn(
         rng,
         jnp.asarray(sample_batch["eeg"]),
         jnp.asarray(sample_batch["decoder_input_ids"]),
         jnp.asarray(sample_batch["channel_mask"]),
-        method="init_all",
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -93,6 +102,6 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=optimizer.init(params),
+        opt_state=jax.jit(optimizer.init)(params),
         loss_weights={k: jnp.float32(v) for k, v in loss_weights.items()},
     )

@@ -23,6 +23,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Compile-heavy suites (each minutes of XLA/torch work on CPU).  Auto-marked
+# so `pytest -m 'not heavy'` is the seconds-scale fast tier while a plain
+# `pytest` still runs everything except `slow`.
+HEAVY_MODULES = {
+    "test_training",
+    "test_parallel",
+    "test_bart_parity",
+    "test_beam_fuzz",
+    "test_full_scale_parity",
+    "test_end_to_end",
+    "test_models",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rpartition(".")[2] in HEAVY_MODULES:
+            item.add_marker(pytest.mark.heavy)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -82,6 +82,7 @@ def tiny_config(vocab_size: int, *, n_timepoints: int = 64, max_length: int = 10
             grad_accum_steps=2,
             eval_batch_size=2,
             log_every_steps=1,
+            mixed_precision=False,  # fp32 CPU oracle (bf16 is the TPU default)
             optimizer=OptimizerConfig(warmup_steps=2),
             loss=LossConfig(bow_vocab_size=16),
         ),

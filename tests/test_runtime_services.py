@@ -310,3 +310,43 @@ def test_command_registry_keeps_caller_authenticator():
             await reg.dispatch(TextFrame("authentication", "garbage-token"))
 
     run(flow())
+
+
+def test_personalization_crawler_batches_of_50(registry, bundle):
+    """Client-side crawler parity: uploads in batches of 50 documents
+    (app/lib/helper/query.dart:19-136), summarized + appended to the user
+    profile server-side."""
+    from imagined_speech_translation_tpu.runtime import PersonalizationCrawler
+
+    async def flow():
+        key = await _auth(registry)
+        crawler = PersonalizationCrawler(key, registry.dispatch)
+        docs = [f"doc {i}" for i in range(120)] + ["", "  "]  # blanks dropped
+        batches = await crawler.upload(docs)
+        assert batches == 3  # 50 + 50 + 20
+        assert crawler.uploaded_docs == 120
+        profile = await bundle.store.get(
+            f"profile:{registry.get(key).user_id or key}"
+        )
+        assert profile and profile.count("summary:") == 3
+
+    run(flow())
+
+
+def test_wifi_qr_roundtrip():
+    from imagined_speech_translation_tpu.runtime import (
+        parse_wifi_qr,
+        wifi_qr_payload,
+    )
+
+    payload = wifi_qr_payload('my;ssid:1', 'p,a"ss\\word')
+    got = parse_wifi_qr(payload)
+    assert got == {
+        "ssid": 'my;ssid:1', "password": 'p,a"ss\\word', "security": "WPA",
+    }
+    open_net = parse_wifi_qr(wifi_qr_payload("cafe", "", security="nopass"))
+    assert open_net["password"] == "" and open_net["security"] == "nopass"
+    with pytest.raises(ValueError):
+        parse_wifi_qr("HTTP://not-wifi")
+    with pytest.raises(ValueError):
+        wifi_qr_payload("x", "y", security="WPA3")

@@ -106,7 +106,7 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--timepoints", type=int, default=256)
     ap.add_argument("--epochs1", type=int, default=4)
-    ap.add_argument("--epochs2", type=int, default=12)
+    ap.add_argument("--epochs2", type=int, default=20)
     args = ap.parse_args()
 
     out_dir = Path(args.out)
@@ -115,15 +115,26 @@ def main():
     root = Path(tempfile.mkdtemp(prefix="ist_proof_"))
     data_dir, montage, vocab = build_corpus(root, args.timepoints)
 
+    # Reduced width (384) so checkpoint gathers stay small — the proof is
+    # about the TRAINER (real cli path, loss/BLEU dynamics, adaptive weights,
+    # checkpoint/resume), not model scale; full-size (768/51k-vocab)
+    # throughput is covered by tools/tpu_train_bench.py and bench.py.
     common = [
         "--data-dir", str(data_dir), "--montage", str(montage),
         "--vocab", str(vocab), "--out-dir", str(out_dir),
         "--set", f"data.n_timepoints={args.timepoints}",
+        "--set", "model.hidden_dim=384",
+        "--set", "model.brain_encoder.hidden_dim=384",
+        "--set", "model.brain_encoder.region_encoder.conv_channels=[64,96,128,192,384]",
+        "--set", "model.bart.d_model=384",
+        "--set", "model.bart.ffn_dim=1536",
+        "--set", "model.bart.encoder_layers=3",
+        "--set", "model.bart.decoder_layers=3",
         "--set", "training.mixed_precision=true",
         "--set", "training.optimizer.warmup_steps=60",
-        "--set", "training.checkpoint.save_interval_epochs=2",
+        "--set", "training.checkpoint.save_interval_epochs=4",
         "--set", "training.log_every_steps=8",
-        "--set", "training.patience=20",
+        "--set", "training.patience=30",
     ]
     if args.platform:
         common += ["--platform", args.platform]
