@@ -10,9 +10,13 @@ traffic is O(S·D) and the matmuls stay on the MXU.
 Round 2 additions (this is now the TRAINING path, not just eval/decode):
 
 * **custom VJP** — FlashAttention-2 style backward: the forward also emits
-  the per-row logsumexp; the backward recomputes probabilities blockwise in
-  two kernels (dq over q-blocks; dk/dv over k-blocks) so the (S, S) tensor is
-  never materialized in either direction.
+  the per-row logsumexp; the backward recomputes probabilities blockwise so
+  the (S, S) tensor is never materialized in either direction.  Two
+  formulations, picked per config (measured on v5e): a fully FUSED kernel
+  (grid over k-blocks, whole-q + f32 dq VMEM-resident, each tile's s/dp and
+  dropout mask computed once for all three gradients) when dropout is on —
+  the training hot path; split dq / dk+dv kernels with a single giant kv
+  block when dropout is off.
 * **in-kernel dropout** — attention-probability dropout (the reference's
   ``nn.MultiheadAttention(dropout=0.1)``) via the TPU PRNG.  Bits are drawn
   per (q-block, k-block) tile with a seed mixed from
@@ -53,18 +57,68 @@ def _dropout_threshold(rate: float) -> jnp.ndarray:
     return jnp.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
 
 
-def _tile_keep_mask(seed_ref, bh, qi, ki, shape, rate: float):
+def _hash_bits(seed, tile_id, shape):
+    """Portable counter-based uint32 hash (xmur-style avalanche) over the
+    tile's element indices.  Pure jnp, so it lowers everywhere — used in
+    interpret mode (``pltpu.prng_seed`` has no interpret lowering) and by
+    the host-side test oracle (:func:`dropout_keep_mask_reference`)."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = rows * jnp.uint32(shape[1]) + cols
+    x = x + jnp.uint32(0x9E3779B9) * tile_id.astype(jnp.uint32)
+    x = x + jnp.uint32(0x85EBCA6B) * seed.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _tile_keep_mask(seed_ref, bh, qi, ki, shape, rate: float, interpret: bool):
     """Regenerate the (q-tile, k-tile) dropout keep-mask.  Deterministic in
     (seed, bh, qi, ki) so forward and backward kernels agree bit-for-bit.
     The TPU PRNG accepts at most two seed words, so the tile coordinates are
     packed into one int32 (valid while qi, ki < 256 — i.e. S < 256·block).
     The seed rides a (1, 128) int32 VMEM row: scalar SMEM blocks fail the
     Mosaic block checks when vmap batches this kernel (the region encoders
-    vmap it over the region axis), VMEM rows batch cleanly."""
+    vmap it over the region axis), VMEM rows batch cleanly.
+
+    Interpret mode swaps the hardware PRNG for the portable counter hash
+    (same tile layout, different bits) so the dropout code paths are
+    CPU-testable against a host-reconstructed mask."""
     tile_id = (bh * 256 + qi) * 256 + ki
-    pltpu.prng_seed(seed_ref[0, 0], tile_id)
-    bits = pltpu.prng_random_bits(shape)
+    if interpret:
+        bits = _hash_bits(seed_ref[0, 0], tile_id, shape)
+    else:
+        pltpu.prng_seed(seed_ref[0, 0], tile_id)
+        bits = pltpu.prng_random_bits(shape)
     return bits >= _dropout_threshold(rate)
+
+
+def dropout_keep_mask_reference(
+    seed: int, b: int, h: int, s_q: int, s_kv: int,
+    *, block_q: int, block_k: int, rate: float,
+):
+    """Host-side oracle: the exact keep-mask the INTERPRET-mode kernels draw,
+    assembled as a dense (b, h, s_q, s_kv) boolean array.  Tests compare
+    flash gradients (interpret) against a jnp attention masked with this."""
+    q_pad = _round_up(s_q, block_q)
+    kv_pad = _round_up(s_kv, block_k)
+    seed_a = jnp.asarray(seed, jnp.int32)
+    rows = []
+    for bh in range(b * h):
+        tiles_q = []
+        for qi in range(q_pad // block_q):
+            tiles_k = []
+            for ki in range(kv_pad // block_k):
+                tile_id = jnp.asarray((bh * 256 + qi) * 256 + ki, jnp.int32)
+                bits = _hash_bits(seed_a, tile_id, (block_q, block_k))
+                tiles_k.append(bits >= _dropout_threshold(rate))
+            tiles_q.append(jnp.concatenate(tiles_k, axis=1))
+        rows.append(jnp.concatenate(tiles_q, axis=0))
+    mask = jnp.stack(rows).reshape(b, h, q_pad, kv_pad)
+    return mask[:, :, :s_q, :s_kv]
 
 
 # ---------------------------------------------------------------------------
@@ -75,6 +129,7 @@ def _tile_keep_mask(seed_ref, bh, qi, ki, shape, rate: float):
 def _fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     *, block_k: int, kv_len: int, scale: float, dropout_rate: float,
+    interpret: bool,
 ):
     # q_ref: (block_q, d); k_ref/v_ref: (kv_pad, d); o_ref: (block_q, d);
     # lse_ref: (1, block_q) — base-2 logsumexp of the scaled scores (rows
@@ -103,7 +158,7 @@ def _fwd_kernel(
         alpha = jnp.exp2(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1)  # normalizer over PRE-dropout p
         if dropout_rate > 0.0:
-            keep = _tile_keep_mask(seed_ref, bh, qi, i, p.shape, dropout_rate)
+            keep = _tile_keep_mask(seed_ref, bh, qi, i, p.shape, dropout_rate, interpret)
             p = jnp.where(keep, p * inv_keep, 0.0)
         acc_new = acc * alpha[:, None] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -128,7 +183,7 @@ def _fwd_call(
     kv_pad = kp.shape[1]
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, interpret=interpret,
     )
     grid = (bh, q_pad // block_q)
     return pl.pallas_call(
@@ -181,9 +236,131 @@ def _fwd_call(
 # ---------------------------------------------------------------------------
 
 
+def _bwd_fused_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, block_q: int, kv_len: int, scale: float, dropout_rate: float,
+    interpret: bool,
+):
+    # One fused backward (FlashAttention-2 collapsed into a single kernel):
+    # grid (bh, k-block), inner loop over q-blocks.  Each (q, k) tile's
+    # s / p / dp — and its dropout mask — are computed ONCE and feed all
+    # three gradients (the split dq / dkv formulation recomputed them twice):
+    #   dV  = P̃ᵀ dO            (accumulated over the inner q loop)
+    #   dS  = P ∘ (M/κ ∘ (dO Vᵀ) − Δ)
+    #   dK  = dSᵀ (scale·Q)     (accumulated over the inner q loop)
+    #   dQ += scale · dS K      (VMEM-resident full block, revisited
+    #                            contiguously across the k grid axis)
+    bh, ki = pl.program_id(0), pl.program_id(1)
+    k = k_ref[:]
+    v = v_ref[:]
+    block_k, d = k.shape
+    q_pad = q_ref.shape[0]
+    n_q = q_pad // block_q
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    col_valid = col + ki * block_k < kv_len
+    scale2 = jnp.asarray(scale * LOG2E, q_ref.dtype)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+
+    def body(qj, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[pl.ds(qj * block_q, block_q), :]
+        do = do_ref[pl.ds(qj * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(qj * block_q, block_q)]
+        delta = delta_ref[0, pl.ds(qj * block_q, block_q)]
+        s = jax.lax.dot_general(
+            q * scale2, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(col_valid, s, NEG_INF)
+        p = jnp.exp2(s - lse[:, None])
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if dropout_rate > 0.0:
+            keep = _tile_keep_mask(seed_ref, bh, qj, ki, p.shape, dropout_rate, interpret)
+            p_tilde = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            p_tilde = p
+        ds = p * (dp - delta[:, None])
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_tilde.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[pl.ds(qj * block_q, block_q), :] += scale * jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, n_q, body, (zeros, zeros))
+    # dk accumulates dSᵀ·Q with Q unscaled in the matmul; fold scale here
+    dk_ref[:] = dk_acc * scale
+    dv_ref[:] = dv_acc
+
+
+def _bwd_call_fused(
+    qp, kp, vp, do, lse, delta, seed, *, block_q: int, block_k: int,
+    kv_len: int, scale: float, dropout_rate: float, interpret: bool,
+):
+    bh, q_pad, d_pad = qp.shape
+    kv_pad = kp.shape[1]
+    full_q = pl.BlockSpec(
+        (None, q_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    kv_block = pl.BlockSpec(
+        (None, block_k, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    full_row = pl.BlockSpec(
+        (None, 1, q_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    seed_spec = pl.BlockSpec(
+        (1, 128), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel, block_q=block_q, kv_len=kv_len, scale=scale,
+            dropout_rate=dropout_rate, interpret=interpret,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, q_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
+        ),
+        grid=(bh, kv_pad // block_k),
+        in_specs=[seed_spec, full_q, kv_block, kv_block, full_q, full_row,
+                  full_row],
+        # dq: whole-q block revisited contiguously across the k axis (stays
+        # VMEM-resident per bh, flushed once); dk/dv: one block per grid step
+        out_specs=(full_q, kv_block, kv_block),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * q_pad * kv_pad * d_pad,
+            bytes_accessed=(2 * qp.size + 2 * kp.size) * qp.dtype.itemsize
+            + (qp.size + 2 * kp.size) * 4,
+            transcendentals=bh * q_pad * kv_pad,
+        ),
+        interpret=interpret,
+    )(seed, qp, kp, vp, do, lse, delta)
+    return dq.astype(qp.dtype), dk.astype(kp.dtype), dv.astype(vp.dtype)
+
+
 def _bwd_dq_kernel(
     seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     *, block_k: int, kv_len: int, scale: float, dropout_rate: float,
+    interpret: bool,
 ):
     # Per q-block: stream k/v blocks, recompute p from lse, accumulate
     #   dS = P ∘ (M/κ ∘ (dO Vᵀ) − Δ),  dQ = scale · dS K.
@@ -210,7 +387,7 @@ def _bwd_dq_kernel(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if dropout_rate > 0.0:
-            keep = _tile_keep_mask(seed_ref, bh, qi, i, p.shape, dropout_rate)
+            keep = _tile_keep_mask(seed_ref, bh, qi, i, p.shape, dropout_rate, interpret)
             dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - delta[:, None])
         return acc + jax.lax.dot_general(
@@ -225,6 +402,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     *, kv_len: int, scale: float, dropout_rate: float,
+    interpret: bool,
 ):
     # Grid (bh, k-block, q-block): the q axis rides the grid (Pallas streams
     # q/do blocks through VMEM) and dk/dv output blocks are revisited across
@@ -258,7 +436,7 @@ def _bwd_dkv_kernel(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if dropout_rate > 0.0:
-        keep = _tile_keep_mask(seed_ref, bh, qj, ki, p.shape, dropout_rate)
+        keep = _tile_keep_mask(seed_ref, bh, qj, ki, p.shape, dropout_rate, interpret)
         p_tilde = jnp.where(keep, p * inv_keep, 0.0)
         dp = jnp.where(keep, dp * inv_keep, 0.0)
     else:
@@ -274,7 +452,7 @@ def _bwd_dkv_kernel(
     )
 
 
-def _bwd_call(
+def _bwd_call_split(
     qp, kp, vp, do, lse, delta, seed, *, block_q: int, block_k: int,
     kv_len: int, scale: float, dropout_rate: float, interpret: bool,
 ):
@@ -299,7 +477,7 @@ def _bwd_call(
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, interpret=interpret,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, q_pad, d_pad), qp.dtype),
         grid=(bh, q_pad // block_q),
@@ -333,7 +511,7 @@ def _bwd_call(
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, kv_len=kv_len, scale=scale,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, interpret=interpret,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
@@ -390,7 +568,12 @@ def _flash_core_bwd(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )[:, None, :]  # (BH, 1, q_pad); Δ = rowsum(dO ∘ O) — padded rows are zero
     do = g.astype(qp.dtype)
-    dq, dk, dv = _bwd_call(
+    # fused (s/dp/mask computed once, PRNG 2x not 3x) wins when dropout is
+    # on — the training hot path; the split two-kernel formulation with a
+    # single giant kv block wins without dropout (measured on v5e,
+    # tools/tpu_kernel_check.py)
+    call = _bwd_call_fused if dropout_rate > 0.0 else _bwd_call_split
+    dq, dk, dv = call(
         qp, kp, vp, do, lse, delta, seed, block_q=block_q, block_k=block_k,
         kv_len=kv_len, scale=scale, dropout_rate=dropout_rate,
         interpret=interpret,
@@ -420,9 +603,12 @@ def flash_attention(
 
     Default blocks are tuned on v5e at the framework's native S≈1655
     (tools/tpu_kernel_check.py): q-block 256 (q-padding waste beats larger
-    blocks' pipelining; 37 vs 33 TFLOP/s fwd bf16) and the whole (padded) kv
-    in one block when the f32 score tile fits VMEM; dropout forces (256, 512)
-    tiles so all three kernels regenerate identical masks.
+    blocks' pipelining); without dropout the forward takes the whole (padded)
+    kv in one block when the f32 score tile fits VMEM and the backward runs
+    the split dq / dkv kernels at the same tiling; with dropout both kernels
+    share (256, 512) tiles (f32: (256, 256) — whole-q + f32 dq resident in
+    the fused backward caps the kv tile under the ~16 MB/core VMEM budget)
+    so the masks regenerate identically.
     """
     if mask is not None:
         raise NotImplementedError("flash kernel is unmasked-only")
@@ -438,7 +624,10 @@ def flash_attention(
         block_q = min(256, _round_up(s_q, 128))
     if block_k is None:
         if dropout_rate > 0.0:
-            block_k = min(512, _round_up(s_kv, 128))
+            # fused-backward tiles (shared with fwd so masks regenerate
+            # identically); 512 fits VMEM at 2-byte storage, f32 needs 256
+            wide = jnp.dtype(q.dtype).itemsize <= 2
+            block_k = min(512 if wide else 256, _round_up(s_kv, 128))
         else:
             kv_pad = _round_up(s_kv, 128)
             # single-block kv when the (block_q, kv) f32 score tile is ~<=4MB

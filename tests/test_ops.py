@@ -115,3 +115,42 @@ def test_custom_scale():
     a = dot_product_attention(q, k, v, scale=0.01, impl="jnp")
     b_ = dot_product_attention(q, k, v, scale=1.0, impl="jnp")
     assert not np.allclose(np.asarray(a), np.asarray(b_))
+
+
+def test_flash_dropout_grad_matches_masked_oracle_interpret():
+    """Dropout fwd + FUSED backward (interpret) vs a jnp attention carrying
+    the exact same keep-mask (host-reconstructed via the portable hash the
+    interpret-mode kernels draw from)."""
+    from imagined_speech_translation_tpu.ops.pallas_attention import (
+        dropout_keep_mask_reference,
+    )
+
+    q, k, v = _qkv(b=1, h=2, s=200, d=96, seed=9)
+    scale = q.shape[-1] ** -0.5
+    rate, seed, bq, bk = 0.3, 7, 128, 128
+    keep = dropout_keep_mask_reference(
+        seed, 1, 2, 200, 200, block_q=bq, block_k=bk, rate=rate
+    )
+
+    def loss_flash(q, k, v):
+        return (
+            flash_attention(
+                q, k, v, dropout_rate=rate, dropout_seed=seed,
+                interpret=True, block_q=bq, block_k=bk,
+            )
+            ** 2
+        ).sum()
+
+    def loss_ref(q, k, v):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        return ((jnp.einsum("bhqk,bhkd->bhqd", probs, v)) ** 2).sum()
+
+    np.testing.assert_allclose(
+        float(loss_flash(q, k, v)), float(loss_ref(q, k, v)), rtol=1e-4
+    )
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -99,9 +99,12 @@ def main():
     B, H, S, D = 16, 8, 1655, 96
     flops_fwd = 4 * B * H * S * S * D
     for dtype in (jnp.bfloat16, jnp.float32):
-        qq = jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.3, dtype)
-        kk = jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.3, dtype)
-        vv = jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.3, dtype)
+        # generate ON DEVICE: host arrays of this size (3x40 MB) would ship
+        # through the (slow) remote-TPU tunnel on every run
+        kq, kk_, kv_ = jax.random.split(jax.random.key(0), 3)
+        qq = (jax.random.normal(kq, (B, H, S, D), dtype) * 0.3)
+        kk = (jax.random.normal(kk_, (B, H, S, D), dtype) * 0.3)
+        vv = (jax.random.normal(kv_, (B, H, S, D), dtype) * 0.3)
         fwd = jax.jit(
             lambda q, k, v: flash_attention(
                 q, k, v, block_q=args.block_q, block_k=args.block_k

@@ -57,10 +57,13 @@ def main():
             mask[r, :c] = True
         mask = jnp.asarray(mask)
         L = cfg.data.max_length
+        # on-device generation: host arrays this size would crawl through
+        # the remote-TPU tunnel
+        kk = jax.random.split(jax.random.key(0), 4)
         sample = {
-            "eeg": jnp.asarray(rng.normal(size=(B, 4, 16, T)), jnp.float32),
-            "decoder_input_ids": jnp.asarray(
-                rng.integers(0, 1000, (B, L)), jnp.int32
+            "eeg": jax.random.normal(kk[0], (B, 4, 16, T), jnp.float32),
+            "decoder_input_ids": jax.random.randint(
+                kk[1], (B, L), 0, 1000, jnp.int32
             ),
             "channel_mask": mask,
         }
@@ -79,14 +82,14 @@ def main():
         bow = rng.integers(0, cfg.model.bart.vocab_size, bow_k)
         step = jax.jit(make_train_step(module, optimizer, cfg, bow))
         batch = {
-            "eeg": jnp.asarray(
-                rng.normal(size=(args.accum, B, 4, 16, T)), jnp.float32
+            "eeg": jax.random.normal(
+                kk[2], (args.accum, B, 4, 16, T), jnp.float32
             ),
-            "decoder_input_ids": jnp.asarray(
-                rng.integers(0, 1000, (args.accum, B, L)), jnp.int32
+            "decoder_input_ids": jax.random.randint(
+                kk[3], (args.accum, B, L), 0, 1000, jnp.int32
             ),
-            "labels": jnp.asarray(
-                rng.integers(0, 1000, (args.accum, B, L)), jnp.int32
+            "labels": jax.random.randint(
+                kk[3], (args.accum, B, L), 0, 1000, jnp.int32
             ),
             "attention_mask": jnp.ones((args.accum, B, L), jnp.int32),
             "channel_mask": mask,
