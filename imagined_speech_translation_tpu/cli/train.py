@@ -73,7 +73,7 @@ def main(argv=None) -> float:
     cfg = load_config(args.config, args.overrides)
     tc = cfg.training
 
-    rng_key = seed_everything(tc.seed)
+    rng_key = seed_everything(tc.seed, impl=tc.rng_impl)
     tokenizer = ChineseCharTokenizer.from_vocab_file(args.vocab)
     logger.info("Tokenizer vocab: %d (pad=%d eos=%d bos=%d)",
                 tokenizer.vocab_size, tokenizer.pad_token_id,

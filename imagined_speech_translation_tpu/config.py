@@ -283,6 +283,12 @@ class TrainingConfig:
     # kernels (33 vs 28 samples/s, tools/tpu_train_bench.py); set false to
     # reproduce the reference numerics exactly.
     mixed_precision: bool = True
+    # PRNG implementation for the in-step dropout keys.  "rbg" rides XLA's
+    # hardware RngBitGenerator — measured 898 -> 794 ms/window on v5e (the
+    # default threefry2x32 spends ~100 ms/window computing dropout masks on
+    # the VPU).  Use "threefry2x32" when bit-identical dropout streams across
+    # backends/compiler versions matter more than throughput.
+    rng_impl: str = "rbg"
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
@@ -337,6 +343,8 @@ class Config:
             raise ValueError("attn_heads must have num_attn_layers entries")
         if self.training.optimizer.warmup_steps < 0:
             raise ValueError("warmup_steps must be >= 0")
+        if self.training.rng_impl not in ("rbg", "threefry2x32", "unsafe_rbg"):
+            raise ValueError(f"unknown rng_impl {self.training.rng_impl!r}")
         return self
 
     # ------------------------------------------------------------------

@@ -182,7 +182,7 @@ class EEGTrainer:
         tc = self.cfg.training
         losses = []
         t0 = time.time()
-        rng = jax.random.key(tc.seed + 1000 + epoch)
+        rng = jax.random.key(tc.seed + 1000 + epoch, impl=tc.rng_impl)
         self._windows_done = start_window
         self._current_epoch = epoch
         for step, batch in enumerate(

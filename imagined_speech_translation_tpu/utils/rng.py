@@ -14,15 +14,18 @@ import jax
 import numpy as np
 
 
-def seed_everything(seed: int) -> jax.Array:
+def seed_everything(seed: int, impl: str | None = None) -> jax.Array:
     """Seed python + numpy host RNGs and return the root JAX key.
 
     Mirrors ``set_random_seeds`` (scripts/train.py:35-48); there is no cuDNN
     equivalent — XLA compilation is deterministic given the same HLO.
+    ``impl`` selects the PRNG ("rbg" = hardware RngBitGenerator, the fast
+    training default via ``TrainingConfig.rng_impl``; None = jax default
+    threefry2x32).
     """
     random.seed(seed)
     np.random.seed(seed)
-    return jax.random.key(seed)
+    return jax.random.key(seed, impl=impl) if impl else jax.random.key(seed)
 
 
 class RngStream:

@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--accum", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--modes", default="fp32,bf16")
+    ap.add_argument("--rng-impl", default=None, help="dropout key impl (threefry2x32/rbg)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +95,7 @@ def main():
             "attention_mask": jnp.ones((args.accum, B, L), jnp.int32),
             "channel_mask": mask,
         }
-        key = jax.random.key(1)
+        key = jax.random.key(1, impl=args.rng_impl or cfg.training.rng_impl)
         t0 = time.perf_counter()
         state, metrics = jax.block_until_ready(step(state, batch, key))
         compile_s = time.perf_counter() - t0
