@@ -18,9 +18,13 @@ linear state-space models.  Numerics are checked against ``scipy.signal
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from scipy import signal as sps
 
 
@@ -84,3 +88,96 @@ def sosfilt_channels(sos_list, x: jax.Array) -> jax.Array:
     for sos in sos_list:
         y = sosfilt(sos, y)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Pallas sequential-IIR kernel (the TPU fast path)
+# ---------------------------------------------------------------------------
+#
+# The associative scan above is depth-parallel but traffic-bound: every
+# biquad materializes (..., T, 2, 2) transition elements (>200 MB at the
+# bench shape) and the log-depth combines re-stream them — measured 195 ms
+# of the 368 ms decode batch.  An IIR is cheap ARITHMETIC (9 ops/sample
+# /section); the right TPU mapping keeps the recurrence sequential in time
+# and vectorizes across channels on the lanes: layout (T, batch·channels),
+# one in-kernel fori over T, all sections cascaded in registers so the
+# signal is read and written exactly once.  Same numerics as scipy sosfilt
+# (zero initial state, float32) — tested against the float64 oracle.
+
+
+def _sos_kernel(x_ref, o_ref, *, sections: tuple, t_len: int):
+    # x_ref/o_ref: (T_pad, lane_block); recurrence over rows (time), all
+    # biquad states live in the loop carry as (1, lane_block) rows.
+    n = len(sections)
+    lanes = x_ref.shape[1]
+    zeros = jnp.zeros((1, lanes), jnp.float32)
+
+    def body(t, carry):
+        states = carry  # tuple of (s1, s2) per section
+        y = x_ref[pl.ds(t, 1), :]
+        new_states = []
+        for i, (b0, b1, b2, a1, a2) in enumerate(sections):
+            s1, s2 = states[2 * i], states[2 * i + 1]
+            out = b0 * y + s1
+            new_states.append(b1 * y - a1 * out + s2)
+            new_states.append(b2 * y - a2 * out)
+            y = out
+        o_ref[pl.ds(t, 1), :] = y
+        return tuple(new_states)
+
+    # Mosaic supports only unroll=1 or full unroll for in-kernel fori loops
+    jax.lax.fori_loop(0, t_len, body, tuple(zeros for _ in range(2 * n)))
+
+
+def sosfilt_pallas(
+    sos_list, x: jax.Array, *, lane_block: int = 256, interpret: bool = False
+) -> jax.Array:
+    """Cascaded ``sosfilt`` over the last axis of ``(..., T)`` via the
+    sequential Pallas kernel (channels on lanes, time in-kernel).  All
+    sections of all banks run fused in one pass over the data."""
+    sections = []
+    for sos in sos_list:
+        arr = np.asarray(sos, np.float64)
+        for s in range(arr.shape[0]):
+            b0, b1, b2, a0, a1, a2 = arr[s]
+            sections.append(
+                (
+                    np.float32(b0 / a0), np.float32(b1 / a0),
+                    np.float32(b2 / a0), np.float32(a1 / a0),
+                    np.float32(a2 / a0),
+                )
+            )
+    sections = tuple(sections)
+
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    bc = int(np.prod(batch_shape)) if batch_shape else 1
+    bc_pad = _pad_to(bc, lane_block)
+    t_pad = _pad_to(t, 8)
+    # (T, BC) layout: time on the sublane axis, channels on lanes
+    xt = jnp.swapaxes(x.reshape(bc, t), 0, 1)
+    xt = jnp.pad(xt, ((0, t_pad - t), (0, bc_pad - bc)))
+
+    out = pl.pallas_call(
+        functools.partial(_sos_kernel, sections=sections, t_len=t),
+        out_shape=jax.ShapeDtypeStruct((t_pad, bc_pad), jnp.float32),
+        grid=(bc_pad // lane_block,),
+        in_specs=[
+            pl.BlockSpec(
+                (t_pad, lane_block), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (t_pad, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xt.astype(jnp.float32))
+    return jnp.swapaxes(out[:t, :bc], 0, 1).reshape(batch_shape + (t,))
+
+
+def _pad_to(v: int, m: int) -> int:
+    return -(-v // m) * m

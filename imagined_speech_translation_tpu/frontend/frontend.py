@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FrontendConfig
-from .filters import design_bandpass, design_notch, sosfilt_channels
+from .filters import (
+    design_bandpass,
+    design_notch,
+    sosfilt_channels,
+    sosfilt_pallas,
+)
 from .stft import log_spectrogram
 
 
@@ -49,7 +54,14 @@ class SignalFrontend:
 
     # ------------------------------------------------------------------
     def preprocess(self, x: jax.Array, channel_mask=None) -> jax.Array:
-        y = sosfilt_channels([self.sos_bandpass, self.sos_notch], x)
+        # TPU: one-pass sequential Pallas IIR (channels on lanes) — the
+        # associative scan's (T,2,2) transition traffic cost 195 of the
+        # 368 ms decode batch (docs/PERFORMANCE.md); other backends keep
+        # the depth-parallel scan.
+        if jax.default_backend() in ("tpu", "axon"):
+            y = sosfilt_pallas([self.sos_bandpass, self.sos_notch], x)
+        else:
+            y = sosfilt_channels([self.sos_bandpass, self.sos_notch], x)
         if self.cfg.car:
             y = common_average_reference(y, channel_mask)
         return y

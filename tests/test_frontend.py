@@ -140,3 +140,27 @@ def test_full_frontend_pipeline():
     proc = np.asarray(feats)
     bin50 = round(50.0 / (500.0 / 128))
     assert proc[..., bin50].mean() < raw_feats[..., bin50].mean() - 2.0
+
+
+def test_sosfilt_pallas_matches_scipy_interpret():
+    """Sequential Pallas IIR kernel (interpret) vs scipy.sosfilt float64 —
+    the TPU fast path for SignalFrontend.preprocess."""
+    from scipy import signal as sps
+
+    from imagined_speech_translation_tpu.frontend.filters import (
+        design_bandpass,
+        design_notch,
+        sosfilt_channels,
+        sosfilt_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 5, 333)).astype(np.float32)
+    bp = design_bandpass(0.5, 40.0, 500.0, 4)
+    nt = design_notch(50.0, 30.0, 500.0)
+    got = np.asarray(sosfilt_pallas([bp, nt], jnp.asarray(x), interpret=True))
+    ref = sps.sosfilt(np.vstack([bp, nt]), x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    # and agrees with the associative-scan path within float32 tolerance
+    scan = np.asarray(sosfilt_channels([bp, nt], jnp.asarray(x)))
+    np.testing.assert_allclose(got, scan, atol=2e-3)
