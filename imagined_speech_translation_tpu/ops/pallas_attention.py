@@ -26,11 +26,13 @@ Round 2 additions (this is now the TRAINING path, not just eval/decode):
   transcendental is a bare ``exp2`` (the VPU's native exponent), shaving the
   per-element multiply off the old ``exp`` path.
 
-Layout: ``(batch, heads, seq, head_dim)``.  The wrapper pads seq to the
-q/k block size and head_dim to the 128-lane tile, and masks the padded key
-tail inside the kernels.  Unmasked (full) attention only — exactly the
-encoder's pattern; masked/causal shapes fall back to the jnp path in
-``ops.attention``.
+Layout: ``(batch, heads, seq, head_dim)``.  Arrays reach the kernels
+UNPADDED: Pallas masks boundary blocks (a block dim must be an (8,128)
+multiple or equal to the array dim, so head dims 96/192 ride as-is), the
+key tail is masked by ``kv_len`` and the backward masks tail q rows — no
+host-side pad/unpad copies touch HBM.  Unmasked (full) attention only —
+exactly the encoder's pattern; masked/causal shapes fall back to the jnp
+path in ``ops.attention``.
 """
 
 from __future__ import annotations
@@ -147,6 +149,10 @@ def _fwd_kernel(
         acc, m, l = carry
         k = k_ref[pl.ds(i * block_k, block_k), :]
         v = v_ref[pl.ds(i * block_k, block_k), :]
+        # boundary tail rows are undefined (NaN in interpret mode) and ride
+        # the p.v contraction where 0*NaN = NaN — zero them explicitly
+        kv_row = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        v = jnp.where(kv_row + i * block_k < kv_len, v, 0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_k), base-2 log domain
@@ -179,38 +185,44 @@ def _fwd_call(
     qp, kp, vp, seed, *, block_q: int, block_k: int, kv_len: int,
     scale: float, dropout_rate: float, interpret: bool,
 ):
-    bh, q_pad, d_pad = qp.shape
-    kv_pad = kp.shape[1]
+    # Arrays are UNPADDED (bh, S, D): Pallas masks boundary blocks itself
+    # (a block dim must be an (8,128) multiple OR equal to the array dim —
+    # head dims 96/192 ride as-is), which removes the host-side pad/unpad
+    # copies entirely.  Tail q rows may read garbage; their outputs are
+    # clipped on write and the backward masks their contributions.
+    bh, q_len, d = qp.shape
+    q_ceil = _round_up(q_len, block_q)
+    kv_ceil = _round_up(kv_len, block_k)
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
         dropout_rate=dropout_rate, interpret=interpret,
     )
-    grid = (bh, q_pad // block_q)
+    grid = (bh, q_ceil // block_q)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((bh, q_pad, d_pad), qp.dtype),
-            jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, q_len, d), qp.dtype),
+            jax.ShapeDtypeStruct((bh, 1, q_ceil), jnp.float32),
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 128), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (None, block_q, d_pad), lambda b, i: (b, i, 0),
+                (None, block_q, d), lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, kv_pad, d_pad), lambda b, i: (b, 0, 0),
+                (None, kv_ceil, d), lambda b, i: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, kv_pad, d_pad), lambda b, i: (b, 0, 0),
+                (None, kv_ceil, d), lambda b, i: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (None, block_q, d_pad), lambda b, i: (b, i, 0),
+                (None, block_q, d), lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -222,10 +234,10 @@ def _fwd_call(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * q_pad * kv_pad * d_pad,
+            flops=4 * bh * q_ceil * kv_ceil * d,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize
-            + bh * q_pad * d_pad * qp.dtype.itemsize,
-            transcendentals=bh * q_pad * kv_pad,
+            + bh * q_len * d * qp.dtype.itemsize,
+            transcendentals=bh * q_ceil * kv_ceil,
         ),
         interpret=interpret,
     )(seed, qp, kp, vp)
@@ -239,8 +251,8 @@ def _fwd_call(
 def _bwd_fused_kernel(
     seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dk_ref, dv_ref,
-    *, block_q: int, kv_len: int, scale: float, dropout_rate: float,
-    interpret: bool,
+    *, block_q: int, q_len: int, kv_len: int, scale: float,
+    dropout_rate: float, interpret: bool,
 ):
     # One fused backward (FlashAttention-2 collapsed into a single kernel):
     # grid (bh, k-block), inner loop over q-blocks.  Each (q, k) tile's
@@ -255,6 +267,11 @@ def _bwd_fused_kernel(
     k = k_ref[:]
     v = v_ref[:]
     block_k, d = k.shape
+    # zero undefined boundary rows: they ride contractions (0*NaN = NaN)
+    kv_row = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+    kv_valid = kv_row + ki * block_k < kv_len
+    k = jnp.where(kv_valid, k, 0)
+    v = jnp.where(kv_valid, v, 0)
     q_pad = q_ref.shape[0]
     n_q = q_pad // block_q
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
@@ -270,6 +287,10 @@ def _bwd_fused_kernel(
         dk_acc, dv_acc = carry
         q = q_ref[pl.ds(qj * block_q, block_q), :]
         do = do_ref[pl.ds(qj * block_q, block_q), :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        row_valid = row + qj * block_q < q_len
+        q = jnp.where(row_valid, q, 0)
+        do = jnp.where(row_valid, do, 0)
         lse = lse_ref[0, pl.ds(qj * block_q, block_q)]
         delta = delta_ref[0, pl.ds(qj * block_q, block_q)]
         s = jax.lax.dot_general(
@@ -288,6 +309,10 @@ def _bwd_fused_kernel(
         else:
             p_tilde = p
         ds = p * (dp - delta[:, None])
+        # p/ds can still be NaN on tail rows via undefined lse/delta —
+        # zero them before the transposed accumulations
+        p_tilde = jnp.where(row_valid, p_tilde, 0.0)
+        ds = jnp.where(row_valid, ds, 0.0)
         dv_acc = dv_acc + jax.lax.dot_general(
             p_tilde.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -313,31 +338,32 @@ def _bwd_call_fused(
     qp, kp, vp, do, lse, delta, seed, *, block_q: int, block_k: int,
     kv_len: int, scale: float, dropout_rate: float, interpret: bool,
 ):
-    bh, q_pad, d_pad = qp.shape
-    kv_pad = kp.shape[1]
+    bh, q_len, d = qp.shape
+    q_ceil = _round_up(q_len, block_q)
+    kv_ceil = _round_up(kv_len, block_k)
     full_q = pl.BlockSpec(
-        (None, q_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        (None, q_ceil, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
     kv_block = pl.BlockSpec(
-        (None, block_k, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (None, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     full_row = pl.BlockSpec(
-        (None, 1, q_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        (None, 1, q_ceil), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
     seed_spec = pl.BlockSpec(
         (1, 128), lambda b, i: (0, 0), memory_space=pltpu.VMEM
     )
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_fused_kernel, block_q=block_q, kv_len=kv_len, scale=scale,
-            dropout_rate=dropout_rate, interpret=interpret,
+            _bwd_fused_kernel, block_q=block_q, q_len=q_len, kv_len=kv_len,
+            scale=scale, dropout_rate=dropout_rate, interpret=interpret,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, q_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, q_len, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kv_len, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kv_len, d), jnp.float32),
         ),
-        grid=(bh, kv_pad // block_k),
+        grid=(bh, kv_ceil // block_k),
         in_specs=[seed_spec, full_q, kv_block, kv_block, full_q, full_row,
                   full_row],
         # dq: whole-q block revisited contiguously across the k axis (stays
@@ -347,10 +373,10 @@ def _bwd_call_fused(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=10 * bh * q_pad * kv_pad * d_pad,
+            flops=10 * bh * q_ceil * kv_ceil * d,
             bytes_accessed=(2 * qp.size + 2 * kp.size) * qp.dtype.itemsize
             + (qp.size + 2 * kp.size) * 4,
-            transcendentals=bh * q_pad * kv_pad,
+            transcendentals=bh * q_ceil * kv_ceil,
         ),
         interpret=interpret,
     )(seed, qp, kp, vp, do, lse, delta)
@@ -377,6 +403,10 @@ def _bwd_dq_kernel(
     def body(i, acc):
         k = k_ref[pl.ds(i * block_k, block_k), :]
         v = v_ref[pl.ds(i * block_k, block_k), :]
+        kv_row = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        kv_valid = kv_row + i * block_k < kv_len
+        k = jnp.where(kv_valid, k, 0)
+        v = jnp.where(kv_valid, v, 0)
         s = jax.lax.dot_general(
             q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -401,7 +431,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, kv_len: int, scale: float, dropout_rate: float,
+    *, q_len: int, kv_len: int, scale: float, dropout_rate: float,
     interpret: bool,
 ):
     # Grid (bh, k-block, q-block): the q axis rides the grid (Pallas streams
@@ -413,6 +443,10 @@ def _bwd_dkv_kernel(
     v = v_ref[:]
     block_k, d = k.shape
     block_q = q_ref.shape[0]
+    kv_row = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+    kv_valid_row = kv_row + ki * block_k < kv_len
+    k = jnp.where(kv_valid_row, k, 0)
+    v = jnp.where(kv_valid_row, v, 0)
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     col_valid = col + ki * block_k < kv_len
@@ -422,8 +456,10 @@ def _bwd_dkv_kernel(
         dk_ref[:] = jnp.zeros_like(dk_ref)
         dv_ref[:] = jnp.zeros_like(dv_ref)
 
-    q_s = q_ref[:] * jnp.asarray(scale, q_ref.dtype)
-    do = do_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+    row_valid = row + qj * block_q < q_len
+    q_s = jnp.where(row_valid, q_ref[:], 0) * jnp.asarray(scale, q_ref.dtype)
+    do = jnp.where(row_valid, do_ref[:], 0)
     lse = lse_ref[0, :]
     delta = delta_ref[0, :]
     s = jax.lax.dot_general(
@@ -442,6 +478,9 @@ def _bwd_dkv_kernel(
     else:
         p_tilde = p
     ds = p * (dp - delta[:, None])
+    # tail rows can still be NaN via undefined lse/delta
+    p_tilde = jnp.where(row_valid, p_tilde, 0.0)
+    ds = jnp.where(row_valid, ds, 0.0)
     dv_ref[:] += jax.lax.dot_general(
         p_tilde.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -456,13 +495,14 @@ def _bwd_call_split(
     qp, kp, vp, do, lse, delta, seed, *, block_q: int, block_k: int,
     kv_len: int, scale: float, dropout_rate: float, interpret: bool,
 ):
-    bh, q_pad, d_pad = qp.shape
-    kv_pad = kp.shape[1]
+    bh, q_len, d = qp.shape
+    q_ceil = _round_up(q_len, block_q)
+    kv_ceil = _round_up(kv_len, block_k)
     qkv_spec_q = pl.BlockSpec(
-        (None, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     full_kv = pl.BlockSpec(
-        (None, kv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        (None, kv_ceil, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
     row_block = pl.BlockSpec(
         (None, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
@@ -479,8 +519,8 @@ def _bwd_call_split(
             _bwd_dq_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
             dropout_rate=dropout_rate, interpret=interpret,
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, q_pad, d_pad), qp.dtype),
-        grid=(bh, q_pad // block_q),
+        out_shape=jax.ShapeDtypeStruct((bh, q_len, d), qp.dtype),
+        grid=(bh, q_ceil // block_q),
         in_specs=[seed2, qkv_spec_q, full_kv, full_kv, qkv_spec_q, row_block,
                   row_block],
         out_specs=qkv_spec_q,
@@ -488,9 +528,9 @@ def _bwd_call_split(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=6 * bh * q_pad * kv_pad * d_pad,
+            flops=6 * bh * q_ceil * kv_ceil * d,
             bytes_accessed=(2 * qp.size + 2 * kp.size) * qp.dtype.itemsize,
-            transcendentals=bh * q_pad * kv_pad,
+            transcendentals=bh * q_ceil * kv_ceil,
         ),
         interpret=interpret,
     )(seed, qp, kp, vp, do, lse, delta)
@@ -498,11 +538,11 @@ def _bwd_call_split(
     # dk/dv: q rides the (innermost, sequential) grid axis; outputs are
     # revisited across it and accumulate in f32 for precision, cast outside.
     q_stream = pl.BlockSpec(
-        (None, block_q, d_pad), lambda b, i, j: (b, j, 0),
+        (None, block_q, d), lambda b, i, j: (b, j, 0),
         memory_space=pltpu.VMEM,
     )
     kv_block3 = pl.BlockSpec(
-        (None, block_k, d_pad), lambda b, i, j: (b, i, 0),
+        (None, block_k, d), lambda b, i, j: (b, i, 0),
         memory_space=pltpu.VMEM,
     )
     row_stream = pl.BlockSpec(
@@ -510,14 +550,14 @@ def _bwd_call_split(
     )
     dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, kv_len=kv_len, scale=scale,
+            _bwd_dkv_kernel, q_len=q_len, kv_len=kv_len, scale=scale,
             dropout_rate=dropout_rate, interpret=interpret,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((bh, kv_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kv_len, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kv_len, d), jnp.float32),
         ),
-        grid=(bh, kv_pad // block_k, q_pad // block_q),
+        grid=(bh, kv_ceil // block_k, q_ceil // block_q),
         in_specs=[seed3, q_stream, kv_block3, kv_block3, q_stream, row_stream,
                   row_stream],
         out_specs=(kv_block3, kv_block3),
@@ -525,9 +565,9 @@ def _bwd_call_split(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * bh * q_pad * kv_pad * d_pad,
+            flops=8 * bh * q_ceil * kv_ceil * d,
             bytes_accessed=(2 * qp.size + 3 * kp.size) * qp.dtype.itemsize,
-            transcendentals=bh * q_pad * kv_pad,
+            transcendentals=bh * q_ceil * kv_ceil,
         ),
         interpret=interpret,
     )(seed, qp, kp, vp, do, lse, delta)
@@ -634,23 +674,18 @@ def flash_attention(
             block_k = (
                 kv_pad if block_q * kv_pad * 4 <= 4 * 1024 * 1024 else 512
             )
-    q_pad = _round_up(s_q, block_q)
-    kv_pad = _round_up(s_kv, block_k)
-    d_pad = _round_up(d, 128)
-
-    def pad(x, s_pad):
-        return jnp.pad(
-            x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, d_pad - d))
-        ).reshape(b * h, s_pad, d_pad)
-
     if dropout_seed is None:
         seed = jnp.zeros((1, 128), jnp.int32)
     else:
         seed = jnp.tile(
             jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1), (1, 128)
         )
+    # no host-side padding: Pallas masks boundary blocks (head dims 96/192
+    # pass as block dims equal to the array dim), so the (b*h) flatten is
+    # the only reshape and no pad/unpad copies hit HBM
     out = _flash_core(
-        pad(q, q_pad), pad(k, kv_pad), pad(v, kv_pad), seed,
+        q.reshape(b * h, s_q, d), k.reshape(b * h, s_kv, d),
+        v.reshape(b * h, s_kv, d), seed,
         s_kv, float(scale), block_q, block_k, float(dropout_rate), interpret,
     )
-    return out.reshape(b, h, q_pad, d_pad)[:, :, :s_q, :d]
+    return out.reshape(b, h, s_q, d)
