@@ -307,8 +307,16 @@ class ParallelConfig:
 
     data_axis: int = -1               # -1: use all remaining devices
     model_axis: int = 1
+    dcn_axis: int = 1                 # >1: multi-slice data parallelism
     axis_names: tuple[str, str] = ("data", "model")
     remat: bool = False               # jax.checkpoint the encoder blocks
+
+    @property
+    def requested(self) -> bool:
+        """True when the config explicitly asks for a multi-device mesh
+        (``data_axis=-1`` alone is "auto" and does NOT trigger sharding —
+        the trainer stays single-device unless sizes are given)."""
+        return self.data_axis > 1 or self.model_axis > 1 or self.dcn_axis > 1
 
 
 # ---------------------------------------------------------------------------

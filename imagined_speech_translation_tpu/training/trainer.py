@@ -142,6 +142,33 @@ class EEGTrainer:
         state = create_train_state(
             module, rng, sample, self.optimizer, init_weights
         )
+        # mesh wiring: an explicit ``mesh=`` wins; otherwise cfg.parallel
+        # sizes build one (SURVEY §2.6 — DP over 'data', optional TP over
+        # 'model', optional multi-slice 'dcn').  State is committed onto the
+        # mesh here; per-window batches are sharded in train_epoch and XLA
+        # inserts the gradient collectives from the annotations alone.
+        pc = self.cfg.parallel
+        if self.mesh is None and getattr(pc, "requested", False):
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(
+                pc.data_axis, pc.model_axis, n_dcn=pc.dcn_axis
+            )
+        if self.mesh is not None:
+            from ..parallel import shard_train_state
+
+            n_data = int(np.prod([
+                self.mesh.shape[a] for a in self.mesh.axis_names
+                if a in ("data", "dcn")
+            ]))
+            if tc.batch_size % n_data:
+                raise ValueError(
+                    f"micro batch {tc.batch_size} not divisible by the mesh's"
+                    f" {n_data} data-parallel devices"
+                )
+            state = shard_train_state(
+                state, self.mesh, tp=self.mesh.shape.get("model", 1) > 1
+            )
         self._train_step = jax.jit(
             make_train_step(module, self.optimizer, self.cfg, self.bow_indices)
         )
@@ -189,6 +216,16 @@ class EEGTrainer:
             self._train_batches(epoch, start_window), start=start_window
         ):
             step_rng = jax.random.fold_in(rng, step)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                cm = batch["channel_mask"]
+                batch = shard_batch(
+                    self.mesh,
+                    {k: v for k, v in batch.items() if k != "channel_mask"},
+                    batch_axis=1,
+                )
+                batch["channel_mask"] = cm
             state, metrics = self._train_step(state, batch, step_rng)
             self._windows_done = step + 1
             if step % max(tc.log_every_steps, 1) == 0:

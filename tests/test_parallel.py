@@ -212,3 +212,67 @@ def test_batch_sharding_specs(setup, eight_devices):
     spec = tuple(sh["eeg"].spec)
     assert spec[1] == "data" and all(s is None for s in spec[2:])
     assert tuple(sh["channel_mask"].spec) == ()
+
+
+def test_trainer_runs_on_mesh(tmp_path, eight_devices):
+    """The PRODUCT trainer (not just make_train_step) shards state and
+    batches when cfg.parallel requests a mesh: one epoch + eval end-to-end
+    on the virtual 2(data)x2(model) mesh."""
+    import dataclasses
+
+    from imagined_speech_translation_tpu.config import ParallelConfig
+    from imagined_speech_translation_tpu.training import (
+        EEGTrainer,
+        get_top_k_vocab_indices,
+    )
+    from tests.helpers import build_dataset, tiny_config, tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    cfg = tiny_config(tok.vocab_size)
+    cfg = dataclasses.replace(
+        cfg, parallel=ParallelConfig(data_axis=2, model_axis=2)
+    )
+    dataset = build_dataset(tmp_path, tok, cfg, n_files=2, samples_per_file=6)
+    idx = np.arange(len(dataset))
+    bow = get_top_k_vocab_indices(tok, cfg.training.loss.bow_vocab_size)
+    trainer = EEGTrainer(
+        cfg, dataset, tok, bow_indices=bow,
+        train_indices=idx[:8], val_indices=idx[8:],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    state = trainer.init_state(jax.random.key(0))
+    assert trainer.mesh is not None
+    assert trainer.mesh.shape == {"data": 2, "model": 2}
+    # params committed onto the mesh with NamedShardings
+    leaf = jax.tree.leaves(state.params)[0]
+    assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
+    state, loss = trainer.train_epoch(state, 0)
+    assert np.isfinite(loss)
+    metrics = trainer.evaluate(state)
+    assert np.isfinite(metrics["val_loss"])
+
+
+def test_trainer_mesh_batch_divisibility_error(tmp_path, eight_devices):
+    import dataclasses
+
+    from imagined_speech_translation_tpu.config import ParallelConfig
+    from imagined_speech_translation_tpu.training import (
+        EEGTrainer,
+        get_top_k_vocab_indices,
+    )
+    from tests.helpers import build_dataset, tiny_config, tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    cfg = tiny_config(tok.vocab_size)  # micro batch 2
+    cfg = dataclasses.replace(
+        cfg, parallel=ParallelConfig(data_axis=8, model_axis=1)
+    )
+    dataset = build_dataset(tmp_path, tok, cfg, n_files=2, samples_per_file=6)
+    idx = np.arange(len(dataset))
+    bow = get_top_k_vocab_indices(tok, cfg.training.loss.bow_vocab_size)
+    trainer = EEGTrainer(
+        cfg, dataset, tok, bow_indices=bow,
+        train_indices=idx[:8], val_indices=idx[8:],
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        trainer.init_state(jax.random.key(0))
