@@ -68,6 +68,9 @@ def main(argv=None) -> float:
 
         os.environ["JAX_PLATFORMS"] = args.platform
         jax.config.update("jax_platforms", args.platform)
+    from ..parallel.distributed import initialize_distributed
+
+    initialize_distributed()  # no-op unless IST_COORDINATOR/IST_DISTRIBUTED set
     from ..utils.cache import enable_persistent_cache
     enable_persistent_cache()
     cfg = load_config(args.config, args.overrides)

@@ -5,9 +5,10 @@ object versions of OpenNeuro **ds005170** (subjects 01–05, preprocessed
 imagined-speech pickles).  This is the tool-shaped equivalent: it LISTS the
 public bucket prefix via the S3 REST API (no credentials), filters to the
 ``*_task-imagine_*_eeg.pkl`` derivatives the training pipeline consumes
-(``data/chisco.py``), and downloads with resume + size verification +
-a manifest, so the corpus definition tracks the dataset rather than a
-frozen URL snapshot.
+(``data/chisco.py``), and downloads with skip-of-complete-files + size
+verification + a manifest, so the corpus definition tracks the dataset
+rather than a frozen URL snapshot.  (Whole files are buffered in memory;
+no byte-range resume — an interrupted file restarts.)
 
 Network-free by construction for tests: the HTTP transport is injectable
 (``http(method, url) -> (status, bytes)``); the CLI wires ``urllib``.
@@ -85,7 +86,8 @@ def fetch_corpus(
     log=print,
 ) -> dict:
     """Download all subjects' pickles into ``out_dir`` (flat layout the
-    dataset loader scans); skips files already present with the right size.
+    dataset loader scans); files already present at the expected size are
+    skipped (interrupted partial files re-download from byte 0).
     Writes ``manifest.json`` and returns it."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

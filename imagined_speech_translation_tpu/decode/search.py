@@ -37,7 +37,10 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1.0e9)
+# plain float (HF's -1e9 magic constant): a module-scope jnp constant would
+# initialize the JAX backend at import time, breaking late platform pinning
+# (e.g. cli --platform); jnp ops cast it where used
+NEG_INF = -1.0e9
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,7 +158,7 @@ def beam_search(
     seqs = seqs.at[:, :, 0].set(p.decoder_start_token_id)
     # HF init: only beam 0 live
     alive_scores = jnp.tile(
-        jnp.array([0.0] + [float(NEG_INF)] * (K - 1), jnp.float32)[None], (batch, 1)
+        jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None], (batch, 1)
     )
     fin_seqs = jnp.full((batch, K, L), p.pad_token_id, jnp.int32)
     fin_scores = jnp.full((batch, K), NEG_INF, jnp.float32)

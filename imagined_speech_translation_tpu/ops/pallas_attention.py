@@ -398,7 +398,6 @@ def _bwd_dq_kernel(
     block_q, d = q2.shape
     kv_pad = k_ref.shape[0]
     n_blocks = kv_pad // block_k
-    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     def body(i, acc):
         k = k_ref[pl.ds(i * block_k, block_k), :]
@@ -416,9 +415,6 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if dropout_rate > 0.0:
-            keep = _tile_keep_mask(seed_ref, bh, qi, i, p.shape, dropout_rate, interpret)
-            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - delta[:, None])
         return acc + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -447,7 +443,6 @@ def _bwd_dkv_kernel(
     kv_valid_row = kv_row + ki * block_k < kv_len
     k = jnp.where(kv_valid_row, k, 0)
     v = jnp.where(kv_valid_row, v, 0)
-    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     col_valid = col + ki * block_k < kv_len
 
@@ -471,12 +466,7 @@ def _bwd_dkv_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if dropout_rate > 0.0:
-        keep = _tile_keep_mask(seed_ref, bh, qj, ki, p.shape, dropout_rate, interpret)
-        p_tilde = jnp.where(keep, p * inv_keep, 0.0)
-        dp = jnp.where(keep, dp * inv_keep, 0.0)
-    else:
-        p_tilde = p
+    p_tilde = p
     ds = p * (dp - delta[:, None])
     # tail rows can still be NaN via undefined lse/delta
     p_tilde = jnp.where(row_valid, p_tilde, 0.0)
@@ -495,6 +485,9 @@ def _bwd_call_split(
     qp, kp, vp, do, lse, delta, seed, *, block_q: int, block_k: int,
     kv_len: int, scale: float, dropout_rate: float, interpret: bool,
 ):
+    # dropout routes to the FUSED backward (masks computed once); the split
+    # kernels intentionally carry no mask regeneration
+    assert dropout_rate == 0.0, "split backward is dropout-free by dispatch"
     bh, q_len, d = qp.shape
     q_ceil = _round_up(q_len, block_q)
     kv_ceil = _round_up(kv_len, block_k)

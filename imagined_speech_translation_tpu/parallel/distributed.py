@@ -46,9 +46,13 @@ def initialize_distributed(
     if process_id is None and "IST_PROCESS_ID" in os.environ:
         process_id = int(os.environ["IST_PROCESS_ID"])
 
-    # TPU pod slices autodetect via the metadata server; only force the
-    # explicit path when a coordinator was configured.
-    if coordinator_address is None and num_processes is None:
+    # Three ways in: an explicit coordinator (env or args), or
+    # IST_DISTRIBUTED=1 which calls jax.distributed.initialize() with no
+    # arguments so TPU pod slices autodetect via the metadata server.
+    # Without any of these the single-host path stays untouched (calling
+    # initialize() unconditionally would hang on dev machines).
+    autodetect = os.environ.get("IST_DISTRIBUTED", "") in ("1", "true")
+    if coordinator_address is None and num_processes is None and not autodetect:
         return False
 
     jax.distributed.initialize(

@@ -62,7 +62,8 @@ class UserActions:
         return await self.services.llm.chat(self.user_id, prompt)
 
     async def speak(self, text: str) -> str:
-        pcm = await self.services.tts.synthesize(text)
+        # user keys the per-user TTS cache (audio.js caches per access key)
+        pcm = await self.services.tts.synthesize(text, self.user_id)
         await self.device.emit("audio", pcm)
         return text
 

@@ -85,9 +85,12 @@ class GeminiLLM:
 
     async def chat(self, session_id: str, prompt: str) -> str:
         hist = self._history.setdefault(session_id, [])
-        hist.append({"role": "user", "parts": [{"text": prompt}]})
-        # snapshot: transports may serialize lazily, and hist mutates below
-        text = await self._call(list(hist))
+        turn = {"role": "user", "parts": [{"text": prompt}]}
+        # the request carries a snapshot; history is committed only after a
+        # successful reply so failed/retried calls don't leave orphan user
+        # turns that diverge from what the model actually saw
+        text = await self._call(hist + [turn])
+        hist.append(turn)
         hist.append({"role": "model", "parts": [{"text": text}]})
         del hist[: -self.max_history]
         return text
@@ -199,11 +202,13 @@ class GoogleMaps:
         self.api_key = api_key
 
     async def find_place(self, query: str, near: str | None = None) -> dict:
+        from urllib.parse import quote
+
         q = f"{query} near {near}" if near else query
         status, body = await self.http(
             "GET",
             "https://maps.googleapis.com/maps/api/place/findplacefromtext/json"
-            f"?input={q}&inputtype=textquery"
+            f"?input={quote(q)}&inputtype=textquery"
             "&fields=name,formatted_address,geometry"
             f"&key={self.api_key}",
         )
@@ -219,10 +224,13 @@ class GoogleMaps:
         }
 
     async def directions(self, origin: str, destination: str) -> list[str]:
+        from urllib.parse import quote
+
         status, body = await self.http(
             "GET",
             "https://maps.googleapis.com/maps/api/directions/json"
-            f"?origin={origin}&destination={destination}&key={self.api_key}",
+            f"?origin={quote(origin)}&destination={quote(destination)}"
+            f"&key={self.api_key}",
         )
         data = _check("maps", status, body)
         routes = data.get("routes") or []

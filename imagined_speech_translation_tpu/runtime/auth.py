@@ -68,16 +68,21 @@ def verify_token(
         return None
     if not isinstance(header, dict) or header.get("alg") != "HS256":
         return None
+    if not isinstance(payload, dict):
+        return None  # validly-signed but non-object claims: reject, not raise
     expected = hmac.new(
         secret, f"{parts[0]}.{parts[1]}".encode(), hashlib.sha256
     ).digest()
     if not hmac.compare_digest(sig, expected):
         return None
     t = time.time() if now is None else now
-    if "exp" in payload and t >= float(payload["exp"]):
-        return None
-    if "nbf" in payload and t < float(payload["nbf"]):
-        return None
+    try:
+        if "exp" in payload and t >= float(payload["exp"]):
+            return None
+        if "nbf" in payload and t < float(payload["nbf"]):
+            return None
+    except (TypeError, ValueError):
+        return None  # non-numeric exp/nbf: malformed -> reject
     if audience is not None and payload.get("aud") != audience:
         return None
     return payload

@@ -148,7 +148,9 @@ class CachingTTS:
     without touching the backend.  ``cache_info()`` exposes hit/miss counts."""
 
     def __init__(self, inner: Any = None, *, max_entries_per_user: int = 256):
-        self.inner = inner or SilentTTS()
+        # not `inner or ...`: a falsy (__len__-defining) service would be
+        # silently replaced (same bug class as build_command_registry's fix)
+        self.inner = inner if inner is not None else SilentTTS()
         self.max_entries_per_user = max_entries_per_user
         self._cache: dict[str, dict[str, bytes]] = {}
         self.hits = 0

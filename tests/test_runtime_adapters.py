@@ -197,7 +197,56 @@ def test_maps_place_and_directions():
     place, steps = run(flow())
     assert place["name"] == "Cafe X" and place["location"]["lat"] == 1.0
     assert steps == ["Turn left", "Go straight"]
-    assert "coffee near Rome" in http.calls[0]["url"]
+    assert "coffee%20near%20Rome" in http.calls[0]["url"]  # URL-encoded
+
+
+def test_maps_urls_are_encoded():
+    http = FakeHttp([(200, {"candidates": []}), (200, {"routes": []})])
+    maps = GoogleMaps(http, "KEY")
+
+    async def flow():
+        await maps.find_place("Fish & Chips", near="Tel Aviv")
+        await maps.directions("A&B #1", "C D")
+
+    run(flow())
+    assert "Fish%20%26%20Chips" in http.calls[0]["url"]
+    assert "origin=A%26B%20%231&destination=C%20D" in http.calls[1]["url"]
+
+
+def test_gemini_chat_history_clean_after_error():
+    http = FakeHttp([(500, b"boom"), (200, gemini_reply("ok"))])
+    llm = GeminiLLM(http, "KEY")
+
+    async def flow():
+        with pytest.raises(Exception):
+            await llm.chat("s", "first")
+        return await llm.chat("s", "second")
+
+    assert run(flow()) == "ok"
+    # the failed turn was not committed: second request history = [second]
+    contents = http.calls[1]["json"]["contents"]
+    assert [c["parts"][0]["text"] for c in contents] == ["second"]
+
+
+def test_jwt_malformed_claims_rejected_not_raised():
+    import json as j
+
+    from imagined_speech_translation_tpu.runtime.auth import (
+        sign_token,
+        verify_token,
+    )
+
+    secret = "s"
+    # validly-signed array payload
+    import base64, hashlib, hmac
+    def b64(raw):
+        return base64.urlsafe_b64encode(raw).decode().rstrip("=")
+    si = b64(j.dumps({"alg": "HS256"}).encode()) + "." + b64(b"[1,2]")
+    sig = b64(hmac.new(b"s", si.encode(), hashlib.sha256).digest())
+    assert verify_token(si + "." + sig, secret) is None
+    # non-numeric exp
+    tok = sign_token({"email": "a@b", "exp": "soon"}, secret, ttl_s=None)
+    assert verify_token(tok, secret) is None
 
 
 def test_adapters_satisfy_service_bundle():
