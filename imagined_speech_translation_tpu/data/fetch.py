@@ -7,11 +7,16 @@ public bucket prefix via the S3 REST API (no credentials), filters to the
 ``*_task-imagine_*_eeg.pkl`` derivatives the training pipeline consumes
 (``data/chisco.py``), and downloads with skip-of-complete-files + size
 verification + a manifest, so the corpus definition tracks the dataset
-rather than a frozen URL snapshot.  (Whole files are buffered in memory;
-no byte-range resume — an interrupted file restarts.)
+rather than a frozen URL snapshot.  Downloads stream in 1 MiB chunks to a
+``.part`` temp file (renamed into place on success — the real ds005170
+pickles are hundreds of MB and must not be buffered whole), resume
+interrupted ``.part`` files via HTTP ``Range``, and retry transient
+failures with backoff.
 
 Network-free by construction for tests: the HTTP transport is injectable
-(``http(method, url) -> (status, bytes)``); the CLI wires ``urllib``.
+(``http(method, url) -> (status, bytes)`` for listing and
+``http_stream(url, offset) -> (status, chunk_iterator)`` for downloads);
+the CLI wires ``urllib``.
 
 Usage::
 
@@ -24,11 +29,18 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 import xml.etree.ElementTree as ET
 from pathlib import Path
-from typing import Callable, Tuple
+from typing import Callable, Iterable, Iterator, Tuple
 
 HttpFn = Callable[[str, str], Tuple[int, bytes]]
+# (url, byte_offset) -> (status, chunk iterator); status 206 = partial
+# content from `offset`, 200 = full body from byte 0
+StreamFn = Callable[[str, int], Tuple[int, Iterable[bytes]]]
+
+CHUNK = 1 << 20
+RETRIES = 3
 
 BUCKET = "https://s3.amazonaws.com/openneuro.org"
 DATASET = "ds005170"
@@ -46,6 +58,82 @@ def _urllib_http(method: str, url: str) -> Tuple[int, bytes]:
             return r.status, r.read()
     except urllib.error.HTTPError as e:  # pragma: no cover - network path
         return e.code, e.read()
+
+
+def _urllib_stream(
+    url: str, offset: int
+) -> Tuple[int, Iterator[bytes]]:  # pragma: no cover - network path
+    import urllib.request
+
+    headers = {"Range": f"bytes={offset}-"} if offset > 0 else {}
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        resp = urllib.request.urlopen(req, timeout=120)
+    except urllib.error.HTTPError as e:
+        e.read()
+        return e.code, iter(())
+
+    def chunks(r=resp):
+        try:
+            while True:
+                b = r.read(CHUNK)
+                if not b:
+                    return
+                yield b
+        finally:
+            r.close()
+
+    return resp.status, chunks()
+
+
+def download_file(
+    url: str,
+    dest: Path,
+    expected_size: int,
+    *,
+    stream: StreamFn = _urllib_stream,
+    retries: int = RETRIES,
+    log=print,
+) -> None:
+    """Stream ``url`` into ``dest`` via a ``dest.part`` temp file.
+
+    An existing ``.part`` resumes from its current length with an HTTP
+    ``Range`` request (S3 honors Range; a 200 answer restarts from byte 0).
+    Transient failures retry with linear backoff, re-resuming from whatever
+    the ``.part`` already holds — so an interrupted multi-hundred-MB pickle
+    never restarts from scratch (reference fetch: one non-resumable curl
+    per file, ``main_model/data/dataset.sh``)."""
+    part = dest.with_suffix(dest.suffix + ".part")
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        offset = part.stat().st_size if part.exists() else 0
+        if offset > expected_size:
+            part.unlink()  # corrupt leftover, restart clean
+            offset = 0
+        try:
+            status, chunks = stream(url, offset)
+            if status == 200 and offset > 0:
+                offset = 0  # server ignored Range: full body follows
+            if status not in (200, 206):
+                raise RuntimeError(f"download failed ({status}): {url}")
+            mode = "ab" if offset > 0 else "wb"
+            with open(part, mode) as fh:
+                for chunk in chunks:
+                    fh.write(chunk)
+            got = part.stat().st_size
+            if got != expected_size:
+                raise RuntimeError(
+                    f"size mismatch for {dest.name}: got {got}, "
+                    f"expected {expected_size}"
+                )
+            part.rename(dest)
+            return
+        except Exception as e:  # noqa: BLE001 - retried, re-raised below
+            last_err = e
+            if attempt < retries - 1:
+                log(f"  retry {attempt + 1}/{retries - 1} for {dest.name}: {e}")
+                time.sleep(attempt + 1)
+    raise RuntimeError(f"download failed after {retries} tries: {last_err}")
 
 
 def list_subject_files(
@@ -78,17 +166,38 @@ def list_subject_files(
     return out
 
 
+def _stream_from_http(http: HttpFn) -> StreamFn:
+    """Adapt a buffered (method, url) transport into the streaming
+    interface (tests inject these; resume slices the buffered body)."""
+
+    def stream(url: str, offset: int) -> Tuple[int, Iterator[bytes]]:
+        status, body = http("GET", url)
+        if status != 200:
+            return status, iter(())
+        if offset > 0:
+            return 206, iter([body[offset:]])
+        return 200, iter([body])
+
+    return stream
+
+
 def fetch_corpus(
     out_dir: str | Path,
     *,
     subjects=SUBJECTS,
     http: HttpFn = _urllib_http,
+    stream: StreamFn | None = None,
+    retries: int = RETRIES,
     log=print,
 ) -> dict:
     """Download all subjects' pickles into ``out_dir`` (flat layout the
     dataset loader scans); files already present at the expected size are
-    skipped (interrupted partial files re-download from byte 0).
+    skipped; interrupted ``.part`` files resume via HTTP Range.
     Writes ``manifest.json`` and returns it."""
+    if stream is None:
+        stream = (
+            _urllib_stream if http is _urllib_http else _stream_from_http(http)
+        )
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest = {"dataset": DATASET, "files": []}
@@ -101,15 +210,10 @@ def fetch_corpus(
             if dest.exists() and dest.stat().st_size == f["size"]:
                 manifest["files"].append({**f, "name": name, "cached": True})
                 continue
-            status, body = http("GET", f"{BUCKET}/{f['key']}")
-            if status != 200:
-                raise RuntimeError(f"download failed ({status}): {f['key']}")
-            if len(body) != f["size"]:
-                raise RuntimeError(
-                    f"size mismatch for {name}: got {len(body)}, "
-                    f"expected {f['size']}"
-                )
-            dest.write_bytes(body)
+            download_file(
+                f"{BUCKET}/{f['key']}", dest, f["size"],
+                stream=stream, retries=retries, log=log,
+            )
             manifest["files"].append({**f, "name": name, "cached": False})
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
     log(f"{len(manifest['files'])} files in {out}")

@@ -667,6 +667,20 @@ def flash_attention(
             block_k = (
                 kv_pad if block_q * kv_pad * 4 <= 4 * 1024 * 1024 else 512
             )
+    if dropout_rate > 0.0:
+        # tile ids pack (bh, qi, ki) as (bh*256 + qi)*256 + ki into one int32
+        # (_tile_keep_mask): qi/ki must stay < 256 and bh < 2^15 or seeds
+        # silently alias, correlating dropout masks across tiles.  Safe at the
+        # framework's native S≈1655; fail loudly for exotic shapes instead.
+        n_q_tiles = -(-s_q // block_q)
+        n_k_tiles = -(-s_kv // block_k)
+        if n_q_tiles >= 256 or n_k_tiles >= 256 or b * h >= 32768:
+            raise ValueError(
+                "dropout tile-id packing limit exceeded: need "
+                f"q-tiles {n_q_tiles} < 256, k-tiles {n_k_tiles} < 256, "
+                f"batch*heads {b * h} < 32768 (raise block_q/block_k or "
+                "split the batch)"
+            )
     if dropout_seed is None:
         seed = jnp.zeros((1, 128), jnp.int32)
     else:

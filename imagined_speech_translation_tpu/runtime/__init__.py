@@ -14,7 +14,13 @@ from .protocol import (  # noqa: F401
     encode_binary_frame,
     encode_text_frame,
 )
-from .auth import make_token_authenticator, sign_token, verify_token  # noqa: F401
+from .auth import (  # noqa: F401
+    JwksVerifier,
+    make_google_verifier,
+    make_token_authenticator,
+    sign_token,
+    verify_token,
+)
 from .personalization import (  # noqa: F401
     PersonalizationCrawler,
     parse_wifi_qr,

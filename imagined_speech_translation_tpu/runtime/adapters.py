@@ -236,7 +236,8 @@ class GoogleMaps:
         routes = data.get("routes") or []
         if not routes:
             return []
-        steps = routes[0]["legs"][0]["steps"]
+        legs = routes[0].get("legs") or []
+        steps = (legs[0].get("steps") or []) if legs else []
         return [_strip_html(s.get("html_instructions", "")) for s in steps]
 
 

@@ -198,6 +198,7 @@ class AdaptiveLossScheduler:
     cfg: LossConfig
     weights: dict[str, float] = field(default_factory=dict)
     history: list[float] = field(default_factory=list)
+    comp_history: list[dict] = field(default_factory=list)
 
     MIN_WEIGHTS = {"ce": 0.2, "align": 0.1, "bow": 0.05, "div": 0.05, "var": 0.01}
     MAX_WEIGHTS = {"ce": 2.0, "align": 3.0, "bow": 2.0, "div": 4.5, "var": 2.0}
@@ -213,10 +214,27 @@ class AdaptiveLossScheduler:
             "div": c.w_div, "var": c.w_var,
         }
 
+    def _stagnant(self, comp: str) -> bool:
+        """True when the component's recent validation loss stopped improving
+        over the history window (recent-3 mean >= earlier-window mean)."""
+        vals = [
+            h[f"loss_{comp}"] for h in self.comp_history
+            if f"loss_{comp}" in h
+        ]
+        if len(vals) < 4:
+            return False
+        recent = sum(vals[-3:]) / 3.0
+        earlier = sum(vals[:-3]) / len(vals[:-3])
+        return recent >= earlier
+
     def update(self, loss_components: dict, diversity: float) -> dict[str, float]:
         self.history.append(float(diversity))
-        if len(self.history) > self.cfg.history_window:
-            self.history.pop(0)
+        self.comp_history.append(
+            {k: float(v) for k, v in (loss_components or {}).items()}
+        )
+        for h in (self.history, self.comp_history):
+            while len(h) > self.cfg.history_window:
+                h.pop(0)
         recent = sum(self.history[-3:]) / min(len(self.history), 3)
         rate = self.cfg.adaptation_rate
         init = self.initial_weights()
@@ -230,6 +248,14 @@ class AdaptiveLossScheduler:
             # relax toward initial
             for k in self.weights:
                 self.weights[k] += rate * (init[k] - self.weights[k])
+        else:
+            # mid-band: steer by the per-component validation-loss history
+            # (the decompiled spec's loss-history window 10) — an
+            # anti-collapse term whose loss stagnated gets more weight, one
+            # that is still improving is left alone
+            for k in ("align", "bow", "div", "var"):
+                if self._stagnant(k):
+                    self.weights[k] *= 1.0 + rate * 5.0
         for k in self.weights:
             self.weights[k] = float(
                 min(max(self.weights[k], self.MIN_WEIGHTS[k]), self.MAX_WEIGHTS[k])
@@ -240,8 +266,13 @@ class AdaptiveLossScheduler:
         return dict(self.weights)
 
     def state_dict(self) -> dict:
-        return {"weights": dict(self.weights), "history": list(self.history)}
+        return {
+            "weights": dict(self.weights),
+            "history": list(self.history),
+            "comp_history": [dict(h) for h in self.comp_history],
+        }
 
     def load_state_dict(self, d: dict) -> None:
         self.weights = dict(d.get("weights", self.weights))
         self.history = list(d.get("history", []))
+        self.comp_history = [dict(h) for h in d.get("comp_history", [])]

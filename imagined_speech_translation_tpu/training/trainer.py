@@ -262,6 +262,7 @@ class EEGTrainer:
         tc = self.cfg.training
         eval_bs = tc.eval_batch_size
         losses, n = [], 0
+        comp_sums: dict[str, float] = {}
         predictions, targets = [], []
         model_vars = state.model_variables()
         for start in range(0, len(self.val_indices), eval_bs):
@@ -276,6 +277,9 @@ class EEGTrainer:
             batch = self.dataset.get_batch(chunk)
             comps = self._eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
             losses.append(float(comps["loss"]) * real)
+            for k, v in comps.items():
+                if k != "loss":
+                    comp_sums[k] = comp_sums.get(k, 0.0) + float(v) * real
             n += real
             gen = self._generate(
                 model_vars,
@@ -290,6 +294,10 @@ class EEGTrainer:
                 ids = row[row != -100]
                 targets.append(self.tokenizer.decode(ids).strip())
         metrics = {"val_loss": (sum(losses) / n) if n else float("inf")}
+        # per-component validation losses — logged per epoch (the reference
+        # mirrored these to wandb) and consumed by the adaptive scheduler's
+        # loss-history window in train()
+        metrics.update({k: v / n for k, v in comp_sums.items()} if n else {})
         metrics.update(self.evaluator.compute_all_metrics(predictions, targets))
         metrics.update(
             prediction_diversity(predictions, min_diversity=tc.min_diversity)

@@ -101,3 +101,72 @@ def test_fetch_size_mismatch_raises(tmp_path):
 
     with pytest.raises(RuntimeError, match="size mismatch"):
         fetch_corpus(tmp_path, subjects=["01"], http=corrupt, log=lambda *a: None)
+
+
+def test_download_resumes_part_file(tmp_path):
+    from imagined_speech_translation_tpu.data.fetch import download_file
+
+    payload = b"0123456789abcdef"
+    dest = tmp_path / "big.pkl"
+    part = tmp_path / "big.pkl.part"
+    part.write_bytes(payload[:6])  # interrupted earlier download
+    offsets = []
+
+    def stream(url, offset):
+        offsets.append(offset)
+        return 206, iter([payload[offset:]])
+
+    download_file("u://x", dest, len(payload), stream=stream, log=lambda *a: None)
+    assert offsets == [6]  # resumed, not restarted
+    assert dest.read_bytes() == payload
+    assert not part.exists()
+
+
+def test_download_restarts_when_server_ignores_range(tmp_path):
+    from imagined_speech_translation_tpu.data.fetch import download_file
+
+    payload = b"full-body"
+    dest = tmp_path / "f.pkl"
+    (tmp_path / "f.pkl.part").write_bytes(b"old")
+
+    def stream(url, offset):
+        return 200, iter([payload])  # Range unsupported: full body
+
+    download_file("u://x", dest, len(payload), stream=stream, log=lambda *a: None)
+    assert dest.read_bytes() == payload
+
+
+def test_download_retries_transient_failure(tmp_path):
+    from imagined_speech_translation_tpu.data.fetch import download_file
+
+    payload = b"eventually-ok"
+    dest = tmp_path / "r.pkl"
+    calls = []
+
+    def stream(url, offset):
+        calls.append(offset)
+        if len(calls) == 1:
+            return 500, iter(())
+        return (206, iter([payload[offset:]])) if offset else (200, iter([payload]))
+
+    download_file("u://x", dest, len(payload), stream=stream, log=lambda *a: None)
+    assert len(calls) == 2
+    assert dest.read_bytes() == payload
+
+
+def test_download_truncated_stream_resumes_midfile(tmp_path):
+    from imagined_speech_translation_tpu.data.fetch import download_file
+
+    payload = b"x" * 10
+    dest = tmp_path / "t.pkl"
+    calls = []
+
+    def stream(url, offset):
+        calls.append(offset)
+        if len(calls) == 1:
+            return 200, iter([payload[:4]])  # connection drops mid-file
+        return 206, iter([payload[offset:]])
+
+    download_file("u://x", dest, len(payload), stream=stream, log=lambda *a: None)
+    assert calls == [0, 4]  # second attempt resumed at the break
+    assert dest.read_bytes() == payload

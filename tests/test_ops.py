@@ -154,3 +154,23 @@ def test_flash_dropout_grad_matches_masked_oracle_interpret():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_dropout_tile_packing_guard():
+    # tile ids pack (bh, qi, ki) into one int32: qi/ki >= 256 or bh >= 2^15
+    # would silently alias dropout seeds — must raise, not alias
+    q, k, v = _qkv(b=1, h=1, s=256, d=8, seed=7)
+    with pytest.raises(ValueError, match="tile-id packing"):
+        flash_attention(
+            q, k, v, dropout_rate=0.1, dropout_seed=0,
+            block_q=128, block_k=1, interpret=True,
+        )
+    rng = np.random.default_rng(0)
+    big = jnp.asarray(rng.normal(size=(1, 40000, 8, 8)) * 0.3, np.float32)
+    with pytest.raises(ValueError, match="tile-id packing"):
+        flash_attention(
+            big, big, big, dropout_rate=0.1, dropout_seed=0, interpret=True
+        )
+    # no dropout: no packing constraint (ids unused)
+    out = flash_attention(q, k, v, block_q=128, block_k=1, interpret=True)
+    assert out.shape == q.shape

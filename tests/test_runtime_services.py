@@ -248,6 +248,145 @@ def test_jwt_authenticator_accept_and_reject():
     run(flow())
 
 
+def _rsa_test_keypair():
+    """Local RS256 keypair via the stdlib-adjacent cryptography package
+    (test-side only — the verifier itself is pure Python)."""
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pub = key.public_key().public_numbers()
+    return key, pub.n, pub.e
+
+
+def _b64u(raw: bytes) -> str:
+    import base64 as _b64
+
+    return _b64.urlsafe_b64encode(raw).decode().rstrip("=")
+
+
+def _rs256_sign(key, claims: dict, *, kid: str, alg: str = "RS256") -> str:
+    import json as _json
+
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    header = {"alg": alg, "typ": "JWT", "kid": kid}
+    signing_input = (
+        _b64u(_json.dumps(header, separators=(",", ":")).encode())
+        + "."
+        + _b64u(_json.dumps(claims, separators=(",", ":")).encode())
+    )
+    sig = key.sign(signing_input.encode(), padding.PKCS1v15(), hashes.SHA256())
+    return signing_input + "." + _b64u(sig)
+
+
+def _jwk(n: int, e: int, kid: str) -> dict:
+    nlen = (n.bit_length() + 7) // 8
+    return {
+        "kty": "RSA",
+        "kid": kid,
+        "use": "sig",
+        "n": _b64u(n.to_bytes(nlen, "big")),
+        "e": _b64u(e.to_bytes((e.bit_length() + 7) // 8, "big")),
+    }
+
+
+def test_rs256_jwks_verifier():
+    """Google id-token shape (wss/func/auth.js:14-19): RS256 signature via
+    kid→JWKS lookup plus iss/aud/exp — accept, wrong-key, expiry, unknown
+    kid, downgrade, and claim-mismatch paths."""
+    import time as _time
+
+    from imagined_speech_translation_tpu.runtime import JwksVerifier
+
+    key, n, e = _rsa_test_keypair()
+    other_key, n2, e2 = _rsa_test_keypair()
+    jwks = {"keys": [_jwk(n, e, "kid-1"), _jwk(n2, e2, "kid-2")]}
+    now = _time.time()
+    claims = {
+        "email": "a@b.com",
+        "iss": "https://accounts.google.com",
+        "aud": "client-123",
+        "exp": now + 3600,
+    }
+    v = JwksVerifier(
+        jwks, issuer="https://accounts.google.com", audience="client-123"
+    )
+    tok = _rs256_sign(key, claims, kid="kid-1")
+    assert v.verify(tok)["email"] == "a@b.com"
+    # signature by the WRONG key under the right kid
+    assert v.verify(_rs256_sign(other_key, claims, kid="kid-1")) is None
+    # tampered payload
+    h, p, s = tok.split(".")
+    assert v.verify(h + "." + p[:-2] + "xx" + "." + s) is None
+    # expired / missing exp (id tokens must expire)
+    assert v.verify(_rs256_sign(key, dict(claims, exp=now - 10), kid="kid-1")) is None
+    no_exp = {k: x for k, x in claims.items() if k != "exp"}
+    assert v.verify(_rs256_sign(key, no_exp, kid="kid-1")) is None
+    # unknown kid / missing kid
+    assert v.verify(_rs256_sign(key, claims, kid="kid-404")) is None
+    # alg downgrade: HS256 token using the JWKS modulus as a shared secret
+    # (the classic key-confusion attack) must be rejected by alg pinning
+    from imagined_speech_translation_tpu.runtime import sign_token
+
+    nbytes = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    assert v.verify(sign_token(claims, nbytes)) is None
+    # wrong issuer / wrong audience
+    assert v.verify(
+        _rs256_sign(key, dict(claims, iss="https://evil.example"), kid="kid-1")
+    ) is None
+    assert v.verify(
+        _rs256_sign(key, dict(claims, aud="other-client"), kid="kid-1")
+    ) is None
+    # aud as a list containing the client id is accepted (JWT allows lists)
+    assert v.verify(
+        _rs256_sign(key, dict(claims, aud=["x", "client-123"]), kid="kid-1")
+    ) is not None
+
+
+def test_rs256_jwks_rotation_and_authenticator():
+    import time as _time
+
+    from imagined_speech_translation_tpu.runtime import (
+        JwksVerifier,
+        SessionRegistry,
+        make_token_authenticator,
+    )
+
+    key, n, e = _rsa_test_keypair()
+    claims = {"email": "rot@b.com", "exp": _time.time() + 60}
+    sets = [{"keys": []}, {"keys": [_jwk(n, e, "kid-new")]}]
+    calls = []
+
+    def fetch():
+        calls.append(1)
+        return sets[0] if len(calls) == 1 else sets[1]
+
+    v = JwksVerifier(fetch)
+    # first verify: kid unknown in the cached (empty) set -> one refetch
+    tok = _rs256_sign(key, claims, kid="kid-new")
+    assert v.verify(tok)["email"] == "rot@b.com"
+    assert len(calls) == 2
+    # cached now: no further fetches
+    assert v.verify(tok) is not None
+    assert len(calls) == 2
+
+    reg = SessionRegistry(authenticator=make_token_authenticator(verifier=v))
+
+    async def flow():
+        k = await reg.dispatch(TextFrame("authentication", tok))
+        assert reg.get(k).user_id == "rot@b.com"
+        with pytest.raises(PermissionError):
+            await reg.dispatch(TextFrame("authentication", "garbage"))
+
+    run(flow())
+    # exactly one of secret=/verifier=
+    with pytest.raises(ValueError):
+        make_token_authenticator("sec", verifier=v)
+    with pytest.raises(ValueError):
+        make_token_authenticator()
+
+
 def test_dsl_fuzz_never_crashes_parser(bundle):
     """1k generated programs (valid grammar + mutated garbage): the parser
     either parses or raises DslError — no other exception escapes

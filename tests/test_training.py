@@ -148,6 +148,29 @@ def test_adaptive_scheduler_boost_and_relax():
     assert w["ce"] >= sched.MIN_WEIGHTS["ce"] - 1e-9
 
 
+def test_adaptive_scheduler_component_trends():
+    # mid-band diversity: the loss-history window (decompiled spec, window
+    # 10) steers individual anti-collapse weights — a stagnant component's
+    # weight rises, an improving one is left alone
+    cfg = tiny_config(200).training.loss
+    sched = AdaptiveLossScheduler(cfg)
+    w0 = sched.get_weights()
+    mid = 0.5 * (cfg.diversity_low + cfg.diversity_high)
+    for i in range(8):
+        comps = {
+            "loss_align": 2.0 + 0.01 * i,   # stagnant/worsening
+            "loss_bow": 2.0 - 0.2 * i,      # clearly improving
+        }
+        w = sched.update(comps, diversity=mid)
+    assert w["align"] > w0["align"]
+    assert w["bow"] == w0["bow"]
+    # history is windowed and survives a state_dict roundtrip
+    assert len(sched.comp_history) <= cfg.history_window
+    clone = AdaptiveLossScheduler(cfg)
+    clone.load_state_dict(sched.state_dict())
+    assert clone.comp_history == sched.comp_history
+
+
 def test_get_top_k_vocab_indices():
     tok = tiny_tokenizer()
     ids = get_top_k_vocab_indices(tok, 8, texts=["我想喝水", "我想喝水", "今天天气很好"])
@@ -196,6 +219,10 @@ def test_trainer_epoch_and_eval(tmp_path):
     assert "bleu_4" in metrics and "diversity_score" in metrics
     assert len(metrics["predictions"]) > 0
     assert np.isfinite(metrics["val_loss"])
+    # per-component validation losses surface into the metrics dict (fed to
+    # the adaptive scheduler's loss-history window and logged as val/loss_*)
+    for comp in ("loss_ce", "loss_align", "loss_bow", "loss_div", "loss_var"):
+        assert comp in metrics and np.isfinite(metrics[comp])
     # odd-sized split exercises the pad-and-trim tail path
     trainer.val_indices = np.arange(8, 11)  # 3 samples, eval_bs=2
     m2 = trainer.evaluate(state)
