@@ -56,10 +56,18 @@ def make_mesh(
         if jax.process_count() > 1:
             from jax.experimental import mesh_utils
 
+            # multi-slice TPU devices carry a slice_index (the DCN granule);
+            # when slice indices don't actually partition the devices into
+            # n_dcn granules (multi-host single-slice clusters, the CPU
+            # cluster proof in tools/multiproc_proof.py — where every device
+            # reports slice 0) group by process instead
+            slice_ids = {getattr(d, "slice_index", None) for d in devices}
+            use_slices = None not in slice_ids and len(slice_ids) == n_dcn
             grid = mesh_utils.create_hybrid_device_mesh(
                 (n_data, n_model),
                 dcn_mesh_shape=(n_dcn, 1),
                 devices=devices,
+                process_is_granule=not use_slices,
             ).reshape(n_dcn, n_data, n_model)
             return Mesh(grid, dcn_names)
         grid = np.asarray(devices[: n_dcn * n_data * n_model]).reshape(
