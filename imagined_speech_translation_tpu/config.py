@@ -90,6 +90,9 @@ class RegionEncoderConfig:
     temporal_pool_weight: float = 0.3  # CLS + 0.3*mean(temporal) (layers.py:254-258)
     diversity_weight: float = 0.1     # feat + 0.1*norm(diversity_head) (layers.py:127)
     cnn_only: bool = False            # ablation (layers.py:180-207)
+    # ablation (paper Table 24 "no pos-emb"): skip the learned positional
+    # table on the token-attention path
+    use_positional_embedding: bool = True
     # conv-stem normalization: "batch" (reference BatchNorm — exact under DP
     # since the sharded-batch mean is global) or "group" (batch-independent,
     # no running stats; SURVEY.md §7 hard part 5 parity flag)

@@ -249,12 +249,13 @@ class RegionConvAttentionEncoder(nn.Module):
         )
 
         seq_len = t + n_special
-        pos = self.param("pos_emb", token_init, (1, seq_len, h))
-        if x.shape[1] <= seq_len:
-            x = x + pos[:, : x.shape[1]]
-        else:  # repeat-extension overflow path (layers.py:219-225)
-            reps = x.shape[1] // seq_len + 1
-            x = x + jnp.tile(pos, (1, reps, 1))[:, : x.shape[1]]
+        if cfg.use_positional_embedding:
+            pos = self.param("pos_emb", token_init, (1, seq_len, h))
+            if x.shape[1] <= seq_len:
+                x = x + pos[:, : x.shape[1]]
+            else:  # repeat-extension overflow path (layers.py:219-225)
+                reps = x.shape[1] // seq_len + 1
+                x = x + jnp.tile(pos, (1, reps, 1))[:, : x.shape[1]]
 
         # single shared cross-scale attention module reused by every layer
         # (reference keeps one ``self.cross_scale_attn``, layers.py:98-103)

@@ -1,0 +1,181 @@
+"""Ablation sweep: paper Table 24 variants through the REAL ``cli/train.py``.
+
+The reference paper (``Toward Restoring Communication in ALS.docx`` Table 24)
+ablates the architecture: no cross-region attention, uniform region weights,
+no positional embedding, CNN-only region encoder, no fusion transformer, and
+pure CNN.  The config flags for all six exist in this framework
+(``RegionEncoderConfig.cnn_only`` / ``use_positional_embedding``,
+``BrainEncoderConfig.disable_cross_region_attn`` / ``uniform_region_weight``
+/ ``fusion_layers``); this tool proves the flags are LIVE end-to-end by
+training each variant on the class-conditioned synthetic corpus and tabling
+the outcomes.  Exact paper numbers need the real Chisco data (env-blocked);
+directional deltas — every variant trains, the full model beats the pure-CNN
+floor — are the reproducible claim here.
+
+Usage::
+
+    python tools/ablation_sweep.py [--out runs/ablations] [--epochs 8]
+
+Writes ``runs/ablations/results.json`` + ``runs/ablations/TABLE.md``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.train_proof import build_corpus, run_stage  # noqa: E402
+
+# (name, paper label, paper BLEU-1, overrides)
+VARIANTS = [
+    ("full", "Ours (full)", 49.6, []),
+    (
+        "no_cross_region_attn", "no cross-region attn", 43.8,
+        ["model.brain_encoder.disable_cross_region_attn=true"],
+    ),
+    (
+        "uniform_region_weight", "uniform region weights", 46.1,
+        ["model.brain_encoder.uniform_region_weight=true"],
+    ),
+    (
+        "no_pos_emb", "no positional embedding", 47.5,
+        ["model.brain_encoder.region_encoder.use_positional_embedding=false"],
+    ),
+    (
+        "cnn_only_region", "CNN-only region encoder", 38.2,
+        ["model.brain_encoder.region_encoder.cnn_only=true"],
+    ),
+    (
+        "no_fusion_transformer", "no fusion transformer", 42.2,
+        ["model.brain_encoder.fusion_layers=0"],
+    ),
+    (
+        "pure_cnn", "pure CNN", 33.9,
+        [
+            "model.brain_encoder.region_encoder.cnn_only=true",
+            "model.brain_encoder.disable_cross_region_attn=true",
+            "model.brain_encoder.uniform_region_weight=true",
+        ],
+    ),
+]
+
+
+def summarize_run(out_dir: Path) -> dict:
+    records = [
+        json.loads(line)
+        for line in (out_dir / "metrics.jsonl").read_text().splitlines()
+        if line.strip()
+    ]
+    losses = [r["train/loss"] for r in records if "train/loss" in r]
+    val = [r for r in records if "val/bleu_1" in r]
+    return {
+        "first_loss": round(sum(losses[:10]) / max(len(losses[:10]), 1), 4),
+        "last_loss": round(sum(losses[-10:]) / max(len(losses[-10:]), 1), 4),
+        "best_bleu1": round(max(r["val/bleu_1"] for r in val), 3) if val else 0.0,
+        "best_bleu4": round(
+            max(r.get("val/bleu_4", 0.0) for r in val), 3
+        ) if val else 0.0,
+        "final_diversity": round(
+            val[-1].get("val/diversity_score", 0.0), 3
+        ) if val else 0.0,
+        "n_evals": len(val),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/ablations")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--timepoints", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--only", nargs="*", default=None, help="variant names")
+    args = ap.parse_args()
+
+    out_root = Path(args.out)
+    out_root.mkdir(parents=True, exist_ok=True)
+    root = Path(tempfile.mkdtemp(prefix="ist_ablate_"))
+    data_dir, montage, vocab = build_corpus(root, args.timepoints)
+
+    results = {}
+    for name, label, paper_bleu1, extra in VARIANTS:
+        if args.only and name not in args.only:
+            continue
+        run_dir = out_root / name
+        if run_dir.exists():
+            shutil.rmtree(run_dir)
+        print(f"=== ablation: {name} ({label}) ===", flush=True)
+        cli = [
+            "--data-dir", str(data_dir), "--montage", str(montage),
+            "--vocab", str(vocab), "--out-dir", str(run_dir),
+            "--set", f"data.n_timepoints={args.timepoints}",
+            "--set", "model.hidden_dim=384",
+            "--set", "model.brain_encoder.hidden_dim=384",
+            "--set",
+            "model.brain_encoder.region_encoder.conv_channels=[64,96,128,192,384]",
+            "--set", "model.bart.d_model=384",
+            "--set", "model.bart.ffn_dim=1536",
+            "--set", "model.bart.encoder_layers=3",
+            "--set", "model.bart.decoder_layers=3",
+            "--set", "training.mixed_precision=true",
+            "--set", "training.optimizer.warmup_steps=60",
+            "--set", "training.checkpoint.save_interval_epochs=100",
+            "--set", "training.log_every_steps=8",
+            "--set", "training.patience=30",
+            "--set", f"training.num_epochs={args.epochs}",
+        ]
+        for ov in extra:
+            cli += ["--set", ov]
+        if args.platform:
+            cli += ["--platform", args.platform]
+        run_stage(cli)
+        results[name] = {
+            "label": label,
+            "paper_bleu1": paper_bleu1,
+            "overrides": extra,
+            **summarize_run(run_dir),
+        }
+        # keep the sweep light on disk: metrics only, no checkpoints
+        shutil.rmtree(run_dir / "checkpoints", ignore_errors=True)
+        (out_root / "results.json").write_text(json.dumps(results, indent=2))
+
+    # ---- table ------------------------------------------------------------
+    lines = [
+        "# Ablation sweep (synthetic corpus, cli/train.py, "
+        f"{args.epochs} epochs)",
+        "",
+        "Paper Table 24 gives the real-data orderings; this sweep proves the",
+        "flags are live end-to-end (every variant trains through the same CLI",
+        "and the architecture deltas move the outcome).",
+        "",
+        "| variant | paper BLEU-1 | synth best BLEU-1 | synth best BLEU-4 |"
+        " loss first→last | diversity |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"| {r['label']} | {r['paper_bleu1']} | {r['best_bleu1']} |"
+            f" {r['best_bleu4']} | {r['first_loss']}→{r['last_loss']} |"
+            f" {r['final_diversity']} |"
+        )
+    (out_root / "TABLE.md").write_text("\n".join(lines) + "\n")
+    print(json.dumps(results, indent=2))
+
+    if not args.only:
+        # directional claims on the synthetic corpus
+        assert all(r["last_loss"] < r["first_loss"] for r in results.values()), (
+            "some variant failed to train"
+        )
+        assert (
+            results["full"]["best_bleu1"] >= results["pure_cnn"]["best_bleu1"]
+        ), "full model should beat the pure-CNN floor"
+    print("ABLATION SWEEP OK")
+
+
+if __name__ == "__main__":
+    main()
