@@ -28,10 +28,15 @@ def build_generate_fn(model, dparams: DecodeParams, *, jit: bool = True):
         else:
             enc_x = enc
             caches = model.init_cache(b, dparams.max_length, enc.dtype)
+        # the pseudo-encoder is tiled: hoist the whole cross-attention out of
+        # the decode loop as per-layer constants (exact-by-construction — see
+        # bart.py decode-path specialization notes)
+        consts = model.apply(variables, enc_x, method="cross_consts")
 
         def step(tokens, positions, caches):
             return model.apply(
-                variables, tokens, positions, enc_x, caches, method="decode_step"
+                variables, tokens, positions, consts, caches,
+                method="decode_step_const",
             )
 
         if K > 1:
@@ -57,10 +62,14 @@ def build_bart_generate_fn(model, dparams: DecodeParams, *, jit: bool = True):
         else:
             enc_x, mask_x = encoder_hidden, encoder_mask
             caches = model.init_cache(b, dparams.max_length, encoder_hidden.dtype)
+        # cross-attention K/V are projections of the fixed encoder states:
+        # compute once, not once per decode step (bit-identical outputs)
+        cross_kvs = model.apply(variables, enc_x, method="cross_attn_kv")
 
         def step(tokens, positions, caches):
             return model.apply(
-                variables, tokens, enc_x, mask_x, positions=positions, caches=caches
+                variables, tokens, enc_x, mask_x, positions=positions,
+                caches=caches, cross_kvs=cross_kvs,
             )
 
         if K > 1:

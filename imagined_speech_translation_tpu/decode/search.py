@@ -1,4 +1,4 @@
-"""Greedy and beam search as static-shape ``lax.while_loop`` programs.
+"""Greedy and beam search as static-shape, static-trip-count XLA loops.
 
 Semantics reproduce HF ``generate`` (the decode path the reference uses with
 ``num_beams=3, early_stopping=True`` — bart_decoder.py:66-78 and the eval
@@ -93,12 +93,8 @@ def greedy_search(
     tokens = tokens.at[:, 0].set(p.decoder_start_token_id)
     finished = jnp.zeros((batch,), bool)
 
-    def cond(state):
-        cur, _, finished, _ = state
-        return (cur < L) & ~jnp.all(finished)
-
-    def body(state):
-        cur, tokens, finished, caches = state
+    def body(cur, state):
+        tokens, finished, caches = state
         last = jax.lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
         pos = jnp.full((batch, 1), cur - 1, jnp.int32)
         logits, caches = step_fn(last, pos, caches)
@@ -108,10 +104,15 @@ def greedy_search(
         nxt = jnp.where(finished, p.pad_token_id, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, cur))
         finished = finished | (nxt == p.eos_token_id)
-        return cur + 1, tokens, finished, caches
+        return tokens, finished, caches
 
-    _, tokens, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), tokens, finished, init_caches)
+    # STATIC trip count (no ~all(finished) early exit): iterations after all
+    # rows finish only write pad — a no-op — and a known-trip-count loop
+    # compiles to a far faster TPU program than a data-dependent while
+    # (measured ~4 ms/step of overhead per dynamic-cond iteration on the
+    # serving chip; docs/PERFORMANCE.md round-3 decode section)
+    tokens, _, _ = jax.lax.fori_loop(
+        1, L, body, (tokens, finished, init_caches)
     )
     return tokens
 
@@ -166,16 +167,11 @@ def beam_search(
     fin_count = jnp.zeros((batch,), jnp.int32)
     done = jnp.zeros((batch,), bool)
 
-    state = (jnp.int32(1), seqs, alive_scores, fin_seqs, fin_scores, fin_lens,
+    state = (seqs, alive_scores, fin_seqs, fin_scores, fin_lens,
              fin_count, done, init_caches)
 
-    def cond(state):
-        cur = state[0]
-        done = state[7]
-        return (cur < L) & ~jnp.all(done)
-
-    def body(state):
-        (cur, seqs, alive_scores, fin_seqs, fin_scores, fin_lens, fin_count,
+    def body(cur, state):
+        (seqs, alive_scores, fin_seqs, fin_scores, fin_lens, fin_count,
          done, caches) = state
 
         last = jax.lax.dynamic_slice_in_dim(seqs.reshape(BK, L), cur - 1, 1, axis=1)
@@ -263,11 +259,17 @@ def beam_search(
             )
         done = done | newly_done
 
-        return (cur + 1, seqs, new_scores, fin_seqs, fin_scores, fin_lens,
+        return (seqs, new_scores, fin_seqs, fin_scores, fin_lens,
                 fin_count, done, caches)
 
-    (cur, seqs, alive_scores, fin_seqs, fin_scores, fin_lens, fin_count, done,
-     _) = jax.lax.while_loop(cond, body, state)
+    # STATIC trip count: iterations on an all-done state are no-ops (frozen
+    # rows keep scores/seqs, finishing candidates score NEG_INF so the
+    # finished top-K keeps its incumbents) — and dropping the data-dependent
+    # ``~all(done)`` condition lets XLA compile a known-trip-count loop,
+    # which removes ~4 ms/step of dynamic-while overhead on the serving
+    # chip (docs/PERFORMANCE.md round-3 decode section).
+    (seqs, alive_scores, fin_seqs, fin_scores, fin_lens, fin_count, done,
+     _) = jax.lax.fori_loop(1, L, body, state)
 
     # ---- output: best hypothesis per row ----------------------------------
     # No post-loop finalize: the final step's in-loop merge already captured

@@ -13,6 +13,19 @@ pseudo-encoder states → FFN, each with residual + LayerNorm after — HF BART'
 Numerics are validated token-identically against HF's torch implementation in
 ``tests/test_bart_parity.py``.  Incremental decoding uses an explicit KV
 cache threaded functionally (static shapes, ``lax.dynamic_update_slice``).
+
+Decode-path specializations (round 3, both loop-invariant hoists):
+
+* ``cross_attn_kv`` — cross-attention K/V are projections of the (fixed)
+  encoder states; computing them once per generate call removes 2 matmuls ×
+  layers × steps from the decode loop with bit-identical outputs.
+* ``cross_attn_const`` — the EEG pseudo-encoder is a TILED sequence (every
+  position is the same vector), so softmax attention over it is the identity
+  on V: the whole cross-attention block collapses to
+  ``out_proj(v_proj(enc_vec))`` — a per-call constant, no per-step
+  cross-attention at all.  (Equal logits → exactly uniform probabilities →
+  the value mean is the value itself; this is the same math with one fewer
+  rounding through the 1/S softmax weights.)
 """
 
 from __future__ import annotations
@@ -35,21 +48,43 @@ class _BartAttention(nn.Module):
     """HF ``BartAttention``: q/k/v/out projections, q pre-scaled by
     ``head_dim**-0.5``; optional growing KV cache for self-attention."""
 
+    d: int
     num_heads: int
     dropout: float = 0.0
 
-    @nn.compact
-    def __call__(self, x, kv=None, mask=None, *, cache=None, deterministic=True):
-        d = x.shape[-1]
-        hd = d // self.num_heads
-        kv = x if kv is None else kv
+    def setup(self):
+        self.q_proj = nn.Dense(self.d)
+        self.k_proj = nn.Dense(self.d)
+        self.v_proj = nn.Dense(self.d)
+        self.out_proj = nn.Dense(self.d)
+        self.drop = nn.Dropout(self.dropout)
 
-        def split(t):
-            return t.reshape(t.shape[:-1] + (self.num_heads, hd)).swapaxes(-3, -2)
+    def _split(self, t):
+        hd = self.d // self.num_heads
+        return t.reshape(t.shape[:-1] + (self.num_heads, hd)).swapaxes(-3, -2)
 
-        q = split(nn.Dense(d, name="q_proj")(x))
-        k = split(nn.Dense(d, name="k_proj")(kv))
-        v = split(nn.Dense(d, name="v_proj")(kv))
+    def kv(self, kv_in):
+        """(k, v) head-split projections — loop-invariant for fixed
+        ``kv_in`` (decode-time cross-attention hoist)."""
+        return self._split(self.k_proj(kv_in)), self._split(self.v_proj(kv_in))
+
+    def uniform_const(self, vec):
+        """Cross-attention output when every key/value position holds
+        ``vec`` (the tiled pseudo-encoder): softmax weights are exactly
+        uniform, so attention returns v itself — ``out_proj(v_proj(vec))``.
+        ``vec``: (B, d) → (B, d)."""
+        return self.out_proj(self.v_proj(vec))
+
+    def __call__(
+        self, x, kv=None, mask=None, *, cache=None, kv_pair=None,
+        deterministic=True,
+    ):
+        hd = self.d // self.num_heads
+        q = self._split(self.q_proj(x))
+        if kv_pair is not None:
+            k, v = kv_pair
+        else:
+            k, v = self.kv(x if kv is None else kv)
 
         new_cache = None
         if cache is not None:
@@ -65,12 +100,12 @@ class _BartAttention(nn.Module):
             if mask is not None:
                 logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
             probs = jax.nn.softmax(logits, axis=-1)
-            probs = nn.Dropout(self.dropout)(probs, deterministic=False)
+            probs = self.drop(probs, deterministic=False)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
         else:
             out = dot_product_attention(q, k, v, mask=mask)
-        out = out.swapaxes(-3, -2).reshape(x.shape[:-1] + (d,))
-        out = nn.Dense(d, name="out_proj")(out)
+        out = out.swapaxes(-3, -2).reshape(x.shape[:-1] + (self.d,))
+        out = self.out_proj(out)
         return out, new_cache
 
 
@@ -79,7 +114,27 @@ class _BartDecoderLayer(nn.Module):
 
     cfg: BartConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.self_attn = _BartAttention(
+            cfg.d_model, cfg.num_heads, cfg.attention_dropout
+        )
+        self.self_attn_layer_norm = nn.LayerNorm(epsilon=1e-5)
+        self.encoder_attn = _BartAttention(
+            cfg.d_model, cfg.num_heads, cfg.attention_dropout
+        )
+        self.encoder_attn_layer_norm = nn.LayerNorm(epsilon=1e-5)
+        self.fc1 = nn.Dense(cfg.ffn_dim)
+        self.fc2 = nn.Dense(cfg.d_model)
+        self.final_layer_norm = nn.LayerNorm(epsilon=1e-5)
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def cross_kv(self, encoder_hidden):
+        return self.encoder_attn.kv(encoder_hidden)
+
+    def cross_const(self, enc_vec):
+        return self.encoder_attn.uniform_const(enc_vec)
+
     def __call__(
         self,
         x,
@@ -88,81 +143,127 @@ class _BartDecoderLayer(nn.Module):
         cross_mask=None,
         *,
         cache=None,
+        cross_kv=None,
+        cross_const=None,
         deterministic=True,
     ):
-        cfg = self.cfg
-
         def drop(t):
-            return nn.Dropout(cfg.dropout)(t, deterministic=deterministic)
+            return self.drop(t, deterministic=deterministic)
 
         residual = x
-        a, new_cache = _BartAttention(
-            cfg.num_heads, cfg.attention_dropout, name="self_attn"
-        )(x, mask=self_mask, cache=cache, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(residual + drop(a))
+        a, new_cache = self.self_attn(
+            x, mask=self_mask, cache=cache, deterministic=deterministic
+        )
+        x = self.self_attn_layer_norm(residual + drop(a))
 
         residual = x
-        a, _ = _BartAttention(
-            cfg.num_heads, cfg.attention_dropout, name="encoder_attn"
-        )(x, kv=encoder_hidden, mask=cross_mask, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, name="encoder_attn_layer_norm")(residual + drop(a))
+        if cross_const is not None:
+            # tiled pseudo-encoder: attention is the identity on V
+            a = cross_const[:, None, :] if cross_const.ndim == 2 else cross_const
+        else:
+            a, _ = self.encoder_attn(
+                x, kv=encoder_hidden, mask=cross_mask, kv_pair=cross_kv,
+                deterministic=deterministic,
+            )
+        x = self.encoder_attn_layer_norm(residual + drop(a))
 
         residual = x
-        f = nn.Dense(cfg.ffn_dim, name="fc1")(x)
+        f = self.fc1(x)
         f = nn.gelu(f, approximate=False)
-        f = nn.Dropout(cfg.dropout)(f, deterministic=deterministic)
-        f = nn.Dense(x.shape[-1], name="fc2")(f)
-        x = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(residual + drop(f))
+        f = self.drop(f, deterministic=deterministic)
+        f = self.fc2(f)
+        x = self.final_layer_norm(residual + drop(f))
         return x, new_cache
 
 
 class BartDecoderModel(nn.Module):
-    """Decoder + tied lm_head.  Two entry modes:
+    """Decoder + tied lm_head.  Entry modes:
 
     * full-sequence (training / teacher forcing): ``caches=None``, causal mask
       over ``(L, L)``;
     * incremental (decode): pass ``caches`` from :meth:`init_cache` and 1-token
-      inputs with explicit ``positions``.
+      inputs with explicit ``positions``; optionally ``cross_kvs`` (from
+      ``method='cross_attn_kv'``) or ``cross_consts`` (from
+      ``method='cross_attn_const'``, tiled pseudo-encoder only) to hoist the
+      loop-invariant cross-attention work out of the decode loop.
     """
 
     cfg: BartConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.shared = nn.Embed(
+            cfg.vocab_size,
+            cfg.d_model,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+        )
+        self.embed_positions = self.param(
+            "embed_positions",
+            nn.initializers.normal(stddev=0.02),
+            (cfg.max_position_embeddings + cfg.position_offset, cfg.d_model),
+        )
+        self.layernorm_embedding = nn.LayerNorm(epsilon=1e-5)
+        for li in range(cfg.decoder_layers):
+            setattr(self, f"layer{li}", _BartDecoderLayer(cfg))
+        if cfg.tie_word_embeddings:
+            self.final_logits_bias = self.param(
+                "final_logits_bias", nn.initializers.zeros, (cfg.vocab_size,)
+            )
+        self.embed_drop = nn.Dropout(cfg.dropout)
+
+    def _layer(self, li: int) -> _BartDecoderLayer:
+        return getattr(self, f"layer{li}")
+
+    def cross_attn_kv(self, encoder_hidden):
+        """Per-layer (k, v) cross-attention projections of fixed encoder
+        states — compute once per generate call."""
+        return [
+            self._layer(li).cross_kv(encoder_hidden)
+            for li in range(self.cfg.decoder_layers)
+        ]
+
+    def cross_attn_const(self, enc_vec):
+        """Per-layer constant cross-attention outputs for a TILED
+        pseudo-encoder built from ``enc_vec`` (B, d)."""
+        return [
+            self._layer(li).cross_const(enc_vec)
+            for li in range(self.cfg.decoder_layers)
+        ]
+
     def __call__(
         self,
         decoder_input_ids: jax.Array,       # (B, L) int
-        encoder_hidden_states: jax.Array,   # (B, S, d)
+        encoder_hidden_states: jax.Array | None = None,  # (B, S, d)
         encoder_attention_mask: jax.Array | None = None,  # (B, S)
         *,
         positions: jax.Array | None = None,  # (B, L) int
         caches=None,
+        cross_kvs=None,
+        cross_consts=None,
         train: bool = False,
         return_hidden: bool = False,
     ):
         cfg = self.cfg
         det = not train
         b, l = decoder_input_ids.shape
+        if encoder_hidden_states is None and cross_kvs is None and (
+            cross_consts is None
+        ):
+            raise ValueError(
+                "need encoder_hidden_states, cross_kvs, or cross_consts"
+            )
 
-        shared = nn.Embed(
-            cfg.vocab_size,
-            cfg.d_model,
-            embedding_init=nn.initializers.normal(stddev=0.02),
-            name="shared",
-        )
-        x = shared(decoder_input_ids)
+        x = self.shared(decoder_input_ids)
         if cfg.scale_embedding:
             x = x * (cfg.d_model**0.5)
 
-        pos_table = self.param(
-            "embed_positions",
-            nn.initializers.normal(stddev=0.02),
-            (cfg.max_position_embeddings + cfg.position_offset, cfg.d_model),
-        )
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
-        x = x + jnp.take(pos_table, positions + cfg.position_offset, axis=0)
-        x = nn.LayerNorm(epsilon=1e-5, name="layernorm_embedding")(x)
-        x = nn.Dropout(cfg.dropout)(x, deterministic=det)
+        x = x + jnp.take(
+            self.embed_positions, positions + cfg.position_offset, axis=0
+        )
+        x = self.layernorm_embedding(x)
+        x = self.embed_drop(x, deterministic=det)
 
         # self-attention mask
         if caches is None:
@@ -181,23 +282,22 @@ class BartDecoderModel(nn.Module):
 
         new_caches = []
         for li in range(cfg.decoder_layers):
-            x, c = _BartDecoderLayer(cfg, name=f"layer{li}")(
+            x, c = self._layer(li)(
                 x,
                 encoder_hidden_states,
                 self_mask,
                 cross_mask,
                 cache=None if caches is None else caches[li],
+                cross_kv=None if cross_kvs is None else cross_kvs[li],
+                cross_const=None if cross_consts is None else cross_consts[li],
                 deterministic=det,
             )
             new_caches.append(c)
 
         hidden = x
-        logits = shared.attend(x)
+        logits = self.shared.attend(x)
         if cfg.tie_word_embeddings:
-            bias = self.param(
-                "final_logits_bias", nn.initializers.zeros, (cfg.vocab_size,)
-            )
-            logits = logits + bias
+            logits = logits + self.final_logits_bias
         if caches is None:
             return (logits, hidden) if return_hidden else logits
         return logits, new_caches

@@ -64,6 +64,22 @@ class EEGDecodingModel(nn.Module):
             token, enc, mask, positions=positions, caches=caches, train=train
         )
 
+    def cross_consts(self, enc):
+        """Per-layer constant cross-attention outputs for the TILED
+        pseudo-encoder ``enc`` (B, S, d) — softmax attention over identical
+        positions is the identity on V, so the whole cross-attention block
+        is a per-generate constant (bart.py specialization notes)."""
+        return self.bart.cross_attn_const(enc[:, 0])
+
+    def decode_step_const(self, token, positions, cross_consts, caches,
+                          *, train: bool = False):
+        """Decode step with hoisted cross-attention constants: no
+        cross-attention (or encoder states) inside the decode loop at all."""
+        return self.bart(
+            token, positions=positions, caches=caches,
+            cross_consts=cross_consts, train=train,
+        )
+
     def init_cache(self, batch: int, max_length: int, dtype=jnp.float32):
         # built from config (setup fields are unavailable outside apply)
         bc = self.cfg.bart

@@ -5,10 +5,13 @@ Usage::
 
     python tools/decode_profile.py                 # default config
     HEADS=6,6,6 python tools/decode_profile.py     # MXU-aligned head split
-    BEAM_ONLY=1 python tools/decode_profile.py     # skip encoder timing
+    SEGMENTS=beam python tools/decode_profile.py   # subset
 
-Timings are steady-state medians over ITERS runs (arrays generated on
-device; the remote tunnel makes host arrays crawl).
+Measurement notes: on the remote-tunnel backend ``block_until_ready`` does
+not reliably fence remote execution, so every timed call reduces its output
+to a scalar that is fetched to host (a full sync), inputs vary per
+iteration (defeats any execution caching), and the tunnel's scalar-fetch
+round-trip (measured on a trivial program) is subtracted.
 """
 
 from __future__ import annotations
@@ -19,16 +22,20 @@ import os
 import time
 
 
-def _median_time(fn, *args, iters=10):
-    import jax
+def _timed(fn, *args, iters=8):
+    """Median wall time of ``float(fn(*args, i))`` (the trailing scalar
+    varies per call to defeat any execution caching; outputs are reduced to
+    a host-fetched scalar because ``block_until_ready`` does not fence the
+    tunnel backend).  Caller subtracts the round-trip baseline.  Arrays ride
+    as jit ARGUMENTS — closing over the 310M-param tree embeds it in the
+    program body and overflows the remote-compile request (HTTP 413)."""
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    float(fn(*args, jnp.float32(0)))  # compile + warmup
     ts = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(fn(*args, jnp.float32(i + 1)))
         ts.append(time.perf_counter() - t0)
     ts.sort()
     return ts[len(ts) // 2]
@@ -60,6 +67,7 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, brain_encoder=be)
         )
+    segments = os.environ.get("SEGMENTS", "frontend,encoder,beam,full").split(",")
 
     B = int(os.environ.get("BENCH_BATCH", "16"))
     T = cfg.data.n_timepoints
@@ -86,52 +94,72 @@ def main():
     )
     variables = cast_floating(variables, jnp.bfloat16)
 
-    key = jax.random.key(1)
-    eeg = jax.random.normal(key, (B, 4, 16, T), jnp.bfloat16)
-    raw = jax.random.normal(key, (B, 125, T), jnp.float32)
+    eeg = jax.random.normal(jax.random.key(1), (B, 4, 16, T), jnp.bfloat16)
+    raw = jax.random.normal(jax.random.key(2), (B, 125, T), jnp.float32)
 
-    report = {"config_heads": list(cfg.model.brain_encoder.region_encoder.attn_heads),
-              "batch": B}
+    report = {
+        "config_heads": list(cfg.model.brain_encoder.region_encoder.attn_heads),
+        "batch": B,
+    }
 
-    # ---- frontend ----------------------------------------------------
-    frontend = SignalFrontend(cfg.frontend)
-    fe = jax.jit(frontend.preprocess)
-    report["frontend_ms"] = round(_median_time(fe, raw) * 1000, 2)
+    # tunnel round-trip baseline: trivial program + scalar fetch
+    trivial = jax.jit(lambda i: jnp.sum(i))
+    rt = _timed(trivial, iters=10)
+    report["roundtrip_ms"] = round(rt * 1000, 2)
 
-    # ---- encoder forward --------------------------------------------
-    encode = jax.jit(
-        lambda v, x, m: model.apply(v, x, m, method="encode")
-    )
-    report["encoder_ms"] = round(_median_time(encode, variables, eeg, channel_mask) * 1000, 2)
+    if "frontend" in segments:
+        frontend = SignalFrontend(cfg.frontend)
+        fe = jax.jit(
+            lambda raw, i: jnp.sum(frontend.preprocess(raw + i * 1e-4))
+        )
+        report["frontend_ms"] = round((_timed(fe, raw) - rt) * 1000, 2)
 
-    # ---- beam decode (given encoder states) -------------------------
-    _, enc = encode(variables, eeg, channel_mask)
-
-    @jax.jit
-    def beam_only(variables, enc):
-        b = enc.shape[0]
-        enc_x = jnp.repeat(enc, dp.num_beams, axis=0)
-        caches = model.init_cache(b * dp.num_beams, dp.max_length, enc.dtype)
-
-        def step(tokens, positions, caches):
-            return model.apply(
-                variables, tokens, positions, enc_x, caches, method="decode_step"
+    if "encoder" in segments:
+        enc_fn = jax.jit(
+            lambda v, x, i: jnp.sum(
+                model.apply(
+                    v, x + jnp.bfloat16(i * 1e-4), channel_mask,
+                    method="encode",
+                )[1].astype(jnp.float32)
             )
+        )
+        report["encoder_ms"] = round(
+            (_timed(enc_fn, variables, eeg) - rt) * 1000, 2
+        )
 
-        return beam_search(step, caches, b, dp)
+    _, enc = jax.jit(
+        lambda v, x, m: model.apply(v, x, m, method="encode")
+    )(variables, eeg, channel_mask)
 
-    report["beam_ms"] = round(_median_time(beam_only, variables, enc) * 1000, 2)
+    if "beam" in segments:
+        @jax.jit
+        def beam_sum(v, e, i):
+            e = e + jnp.bfloat16(i * 1e-4)
+            enc_x = jnp.repeat(e, dp.num_beams, axis=0)
+            caches = model.init_cache(B * dp.num_beams, dp.max_length, e.dtype)
 
-    # ---- full pipeline ----------------------------------------------
-    generate = build_generate_fn(model, dp, jit=False)
+            def step(tokens, positions, caches):
+                return model.apply(
+                    v, tokens, positions, enc_x, caches,
+                    method="decode_step",
+                )
 
-    @jax.jit
-    def full(variables, eeg):
-        return generate(variables, eeg, channel_mask)
+            return jnp.sum(beam_search(step, caches, B, dp))
 
-    full_ms = _median_time(full, variables, eeg) * 1000
-    report["full_ms"] = round(full_ms, 2)
-    report["windows_per_sec"] = round(B / (full_ms / 1000), 1)
+        report["beam_ms"] = round(
+            (_timed(beam_sum, variables, enc) - rt) * 1000, 2
+        )
+
+    if "full" in segments:
+        generate = build_generate_fn(model, dp, jit=False)
+        full = jax.jit(
+            lambda v, x, i: jnp.sum(
+                generate(v, x + jnp.bfloat16(i * 1e-4), channel_mask)
+            )
+        )
+        full_ms = (_timed(full, variables, eeg) - rt) * 1000
+        report["full_ms"] = round(full_ms, 2)
+        report["windows_per_sec"] = round(B / (full_ms / 1000), 1)
     print(json.dumps(report))
 
 

@@ -1,0 +1,312 @@
+"""Streaming-server soak: hours of synthetic device EEG through the REAL
+websocket service, recording memory/latency stability.
+
+What runs: a ``WssService`` (the same class ``cli/serve.py`` deploys) on a
+localhost websocket, with a real jitted tiny EEG→text decode pipeline (CPU),
+and a client task that streams binary ``eeg`` frames continuously —
+utterance boundaries via ``eeg_end`` — plus periodic text commands, for
+``--minutes``.  Every 10 s the RSS and cumulative counters are sampled.
+
+Pass criteria (written to the report, rc 1 on violation):
+* zero protocol/stream errors;
+* bounded memory: linear-fit RSS slope over the second half < 32 MB/h;
+* stable latency: second-half p95 ≤ 3x first-half p95.
+
+Usage::
+
+    python tools/streaming_soak.py --minutes 120 --out runs/soak
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _rss_mb() -> float:
+    for line in Path("/proc/self/status").read_text().splitlines():
+        if line.startswith("VmRSS"):
+            return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def build_service(n_channels: int, window: int):
+    """WssService with a REAL jitted tiny-model decode pipeline (CPU)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from imagined_speech_translation_tpu.config import (
+        BartConfig,
+        BrainEncoderConfig,
+        Config,
+        DataConfig,
+        ModelConfig,
+        RegionEncoderConfig,
+    )
+    from imagined_speech_translation_tpu.decode import (
+        DecodeParams,
+        build_generate_fn,
+    )
+    from imagined_speech_translation_tpu.models import EEGDecodingModel
+    from imagined_speech_translation_tpu.runtime.server import WssService
+    from imagined_speech_translation_tpu.runtime.session import SessionRegistry
+    from imagined_speech_translation_tpu.runtime.streaming import (
+        DecodePipeline,
+        RingBuffer,
+        ThresholdWakeGate,
+        Windower,
+    )
+
+    h = 48
+    cfg = Config(
+        data=DataConfig(n_timepoints=window, max_length=8),
+        model=ModelConfig(
+            hidden_dim=h,
+            max_region_channels=16,
+            region_channel_counts=(16, 9, 11, 12),
+            brain_encoder=BrainEncoderConfig(
+                hidden_dim=h, fusion_heads=4, cross_region_heads=4,
+                region_encoder=RegionEncoderConfig(
+                    conv_channels=(8, 16, 24, 32, 48),
+                    attn_heads=(4, 2, 2), se_reduction=4,
+                ),
+            ),
+            bart=BartConfig(
+                vocab_size=128, d_model=h, encoder_layers=3, decoder_layers=2,
+                num_heads=4, ffn_dim=96, max_position_embeddings=32,
+            ),
+        ),
+    ).validate()
+    model = EEGDecodingModel(cfg.model)
+    mask = np.zeros((4, 16), bool)
+    for r, c in enumerate(cfg.model.region_channel_counts):
+        mask[r, :c] = True
+    channel_mask = jnp.asarray(mask)
+    gather = []
+    counts = cfg.model.region_channel_counts
+    offs = np.cumsum([0] + list(counts))
+    for r in range(4):
+        row = list(range(offs[r], offs[r + 1])) + [0] * (16 - counts[r])
+        gather.append(row)
+    gather = np.asarray(gather)
+
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((2, 4, 16, window), jnp.float32),
+        jnp.zeros((2, 4), jnp.int32),
+        channel_mask,
+    )
+    dp = DecodeParams(
+        max_length=8, min_length=2, num_beams=1,
+        pad_token_id=cfg.model.bart.pad_token_id,
+        eos_token_id=cfg.model.bart.eos_token_id,
+        decoder_start_token_id=cfg.model.bart.decoder_start_token_id,
+    )
+    generate = build_generate_fn(model, dp)
+    max_batch = 4
+
+    def decode_fn(batch):  # (N, C=48, T)
+        n = batch.shape[0]
+        padded = np.zeros((max_batch, 48, batch.shape[2]), np.float32)
+        padded[:n] = batch
+        stacked = padded[:, gather.reshape(-1), :].reshape(
+            max_batch, 4, 16, batch.shape[2]
+        )
+        stacked = np.where(mask[None, :, :, None], stacked, 0.0)
+        toks = np.asarray(
+            generate(variables, jnp.asarray(stacked), channel_mask)
+        )
+        return [" ".join(map(str, row[row > 0])) for row in toks[:n]]
+
+    def pipeline_factory(key):
+        rb = RingBuffer(n_channels, window * 8)
+        return DecodePipeline(
+            windower=Windower(rb, window=window, hop=window),
+            decode_fn=decode_fn,
+            wake_gate=ThresholdWakeGate(0.05),
+            max_batch=max_batch,
+        )
+
+    reg = SessionRegistry()
+
+    @reg.command("speak")
+    async def speak(session, args):
+        return {"spoken": args[0] if args else ""}
+
+    svc = WssService(reg, pipeline_factory=pipeline_factory, n_channels=n_channels)
+    return svc, reg
+
+
+async def soak(minutes: float, out_dir: Path, port: int) -> dict:
+    import websockets
+
+    from imagined_speech_translation_tpu.runtime.protocol import (
+        encode_binary_frame,
+        encode_text_frame,
+    )
+    from imagined_speech_translation_tpu.runtime.protocol import BinaryFrame, TextFrame
+
+    n_channels, window = 48, 128
+    svc, reg = build_service(n_channels, window)
+
+    counters = {
+        "frames_sent": 0, "utterances": 0, "errors": 0, "text_cmds": 0,
+    }
+    latencies: list[tuple[float, float]] = []  # (t, ms)
+    rss: list[tuple[float, float]] = []
+
+    async def handler(ws):
+        async for message in ws:
+            if isinstance(message, bytes):
+                try:
+                    texts = await svc.handle_binary(message)
+                    for t in texts:
+                        await ws.send(
+                            encode_text_frame(TextFrame("utterance", "", (t,)))
+                        )
+                except Exception as e:  # noqa: BLE001 - counted, not fatal
+                    await ws.send(
+                        encode_text_frame(TextFrame("error", "stream", (str(e),)))
+                    )
+            else:
+                await ws.send(await svc.handle_text(message))
+
+    t_end = time.time() + minutes * 60.0
+    t0 = time.time()
+    rng = np.random.default_rng(0)
+
+    async with websockets.serve(handler, "127.0.0.1", port):
+        async with websockets.connect(
+            f"ws://127.0.0.1:{port}", max_size=None
+        ) as ws:
+            # authenticate to get a session key
+            await ws.send("authentication¬soak-token")
+            reply = await ws.recv()
+            key = json.loads(reply.split("¬")[2])
+
+            async def reader():
+                async for msg in ws:
+                    if isinstance(msg, str):
+                        if msg.startswith("utterance"):
+                            counters["utterances"] += 1
+                            latencies.append(
+                                (time.time() - t0,
+                                 (time.time() - last_end[0]) * 1e3)
+                            )
+                        elif msg.startswith("error"):
+                            counters["errors"] += 1
+                            if counters["errors"] < 5:
+                                print("ERR:", msg[:200], flush=True)
+
+            last_end = [time.time()]
+            rtask = asyncio.create_task(reader())
+            next_sample = t0
+            i = 0
+            while time.time() < t_end:
+                chunk = rng.normal(0, 1, (n_channels, window // 2)).astype(
+                    np.float32
+                )
+                await ws.send(
+                    encode_binary_frame(
+                        BinaryFrame("eeg", key, chunk.tobytes())
+                    )
+                )
+                counters["frames_sent"] += 1
+                i += 1
+                if i % 16 == 0:  # utterance boundary every 8 windows
+                    last_end[0] = time.time()
+                    await ws.send(
+                        encode_binary_frame(BinaryFrame("eeg_end", key, b""))
+                    )
+                if i % 64 == 0:
+                    await ws.send(f"speak¬{key}¬soak check {i}")
+                    counters["text_cmds"] += 1
+                if time.time() >= next_sample:
+                    rss.append((time.time() - t0, _rss_mb()))
+                    next_sample += 10.0
+                await asyncio.sleep(0.02)
+            # drain
+            await ws.send(encode_binary_frame(BinaryFrame("eeg_end", key, b"")))
+            await asyncio.sleep(1.0)
+            rtask.cancel()
+
+    # ---- analysis ----------------------------------------------------
+    dur_s = time.time() - t0
+    lat_ms = [m for _, m in latencies]
+    half = len(lat_ms) // 2 or 1
+
+    def p95(xs):
+        if not xs:
+            return None
+        s = sorted(xs)
+        return s[min(len(s) - 1, int(0.95 * len(s)))]
+
+    rss_half = [(t, m) for t, m in rss if t >= dur_s / 2]
+    slope_mb_per_h = 0.0
+    if len(rss_half) >= 3:
+        ts = np.array([t for t, _ in rss_half])
+        ms = np.array([m for _, m in rss_half])
+        slope_mb_per_h = float(np.polyfit(ts, ms, 1)[0] * 3600.0)
+
+    report = {
+        "duration_min": round(dur_s / 60.0, 1),
+        **counters,
+        "windows_per_utterance": 8,
+        "latency_p50_ms": (
+            round(sorted(lat_ms)[len(lat_ms) // 2], 1) if lat_ms else None
+        ),
+        "latency_p95_first_half_ms": p95(lat_ms[:half]),
+        "latency_p95_second_half_ms": p95(lat_ms[half:]),
+        "rss_start_mb": round(rss[0][1], 1) if rss else None,
+        "rss_end_mb": round(rss[-1][1], 1) if rss else None,
+        "rss_slope_second_half_mb_per_h": round(slope_mb_per_h, 2),
+        "rss_series": [(round(t, 1), round(m, 1)) for t, m in rss],
+        "pipeline_latency": (
+            svc._pipelines[key].latency.summary() if key in svc._pipelines
+            else None
+        ),
+    }
+    ok = (
+        counters["errors"] == 0
+        and counters["utterances"] > 0
+        and slope_mb_per_h < 32.0
+        and (
+            report["latency_p95_second_half_ms"] is None
+            or report["latency_p95_first_half_ms"] is None
+            or report["latency_p95_second_half_ms"]
+            <= 3.0 * max(report["latency_p95_first_half_ms"], 1.0)
+        )
+    )
+    report["ok"] = ok
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "soak_report.json").write_text(json.dumps(report, indent=2))
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=120.0)
+    ap.add_argument("--out", default="runs/soak")
+    ap.add_argument("--port", type=int, default=41414)
+    args = ap.parse_args()
+    report = asyncio.run(soak(args.minutes, Path(args.out), args.port))
+    slim = {k: v for k, v in report.items() if k != "rss_series"}
+    print(json.dumps(slim))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

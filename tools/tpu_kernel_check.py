@@ -1,17 +1,30 @@
 """On-chip verification + timing for the Pallas flash-attention kernels.
 
-Run on a real TPU (the CPU test suite covers interpret-mode parity; this
-script is the hardware half): numerics vs the jnp oracle, dropout mask
-statistics/determinism, fwd+bwd wall-clock and TFLOP/s at the framework's
-native shape (B=4 regions·micro-batch, H=8, S=1655, D=96).
+The CPU test suite covers interpret-mode parity; this script is the hardware
+half and it GATES: every numerics check carries a hard error bound and the
+run fails (rc 1) if any bound is exceeded — a rearranged-but-wrong hardware
+lowering cannot ship green.  Results (errors, bounds, pass flags, TFLOP/s)
+are written as a JSON artifact for the round record.
 
-Usage:  python tools/tpu_kernel_check.py [--quick]
+Checks, on the real chip:
+* flash fwd vs jnp oracle (f32 and bf16 storage);
+* split backward (no dropout) dq/dk/dv vs jax.grad through the oracle;
+* fused backward (dropout>0): determinism given seed, seed sensitivity,
+  mean-over-seeds convergence to the no-dropout output, finite grads;
+* timing at the framework's native shape (B=16, H=8, S=1655, D=96).
+
+Usage:  python tools/tpu_kernel_check.py [--quick] [--json KERNELCHECK.json]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -31,15 +44,44 @@ def timeit(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
+class Gate:
+    """Collects named checks; each is (value, bound, ok)."""
+
+    def __init__(self):
+        self.checks: dict[str, dict] = {}
+
+    def leq(self, name: str, value: float, bound: float):
+        ok = bool(value <= bound)
+        self.checks[name] = {"value": float(value), "bound": bound, "ok": ok}
+        flag = "ok" if ok else "FAIL"
+        print(f"[{flag}] {name}: {value:.3e} (bound {bound:.1e})")
+        return ok
+
+    def true(self, name: str, cond: bool):
+        self.checks[name] = {"value": bool(cond), "bound": True, "ok": bool(cond)}
+        print(f"[{'ok' if cond else 'FAIL'}] {name}: {bool(cond)}")
+        return cond
+
+    @property
+    def ok(self) -> bool:
+        return all(c["ok"] for c in self.checks.values())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--block-q", type=int, default=None)
     ap.add_argument("--block-k", type=int, default=None)
+    ap.add_argument("--json", default=None, help="write results JSON here")
     args = ap.parse_args()
     print("backend:", jax.default_backend(), jax.devices())
+    gate = Gate()
+    report: dict = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
 
-    # ---- numerics (f32, odd shape) -----------------------------------
+    # ---- numerics (odd shape exercises the boundary-masking paths) ----
     rng = np.random.default_rng(0)
     b, h, s, d = 2, 4, 333, 96
     q, k, v = (
@@ -48,7 +90,20 @@ def main():
     )
     ref = _jnp_attention(q, k, v, None, d**-0.5)
     got = flash_attention(q, k, v)
-    print("fwd max err (f32):", float(jnp.abs(ref - got).max()))
+    # TPU f32 matmuls pass through the MXU; both paths accumulate in f32 so
+    # the achievable agreement is ~1e-5 of the O(1) outputs.  Bound 5x the
+    # historically-measured error.
+    gate.leq("fwd_f32_max_err", float(jnp.abs(ref - got).max()), 1e-4)
+
+    refb = _jnp_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        None, d**-0.5,
+    ).astype(jnp.float32)
+    gotb = flash_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    ).astype(jnp.float32)
+    # bf16 storage: inputs quantized to 8-bit mantissa; outputs O(1)
+    gate.leq("fwd_bf16_max_err", float(jnp.abs(refb - gotb).max()), 3e-2)
 
     def loss_flash(q, k, v):
         return (flash_attention(q, k, v) ** 2).sum()
@@ -59,12 +114,14 @@ def main():
     gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for name, a, b_ in zip("qkv", gf, gr):
-        print(
-            f"d{name} max err: {float(jnp.abs(a - b_).max()):.3e}"
-            f"  (ref scale {float(jnp.abs(b_).max()):.3e})"
+        scale = float(jnp.abs(b_).max())
+        gate.leq(
+            f"split_bwd_d{name}_rel_err",
+            float(jnp.abs(a - b_).max()) / scale,
+            2e-3,
         )
 
-    # ---- dropout statistics ------------------------------------------
+    # ---- dropout (fused backward path) --------------------------------
     rate = 0.1
     seed = jnp.int32(1234)
     f = jax.jit(
@@ -73,77 +130,125 @@ def main():
         )
     )
     o1, o2 = f(q, k, v), f(q, k, v)
-    print("dropout deterministic given seed:", bool(jnp.allclose(o1, o2)))
+    gate.true("dropout_deterministic_given_seed", bool(jnp.allclose(o1, o2)))
     o3 = flash_attention(q, k, v, dropout_rate=rate, dropout_seed=jnp.int32(99))
-    print("different seed differs:", bool(not jnp.allclose(o1, o3)))
-    # E[dropout attention] = plain attention; check the mean over many seeds
+    gate.true("dropout_seed_sensitivity", bool(not jnp.allclose(o1, o3)))
+    # E[dropout attention] = plain attention; mean over n seeds converges as
+    # 1/sqrt(n).  Empirical single-seed deviation is ~0.15 here; bound the
+    # n-seed mean at 3x the 1/sqrt(n) prediction.
+    n_seeds = 4 if args.quick else 24
     outs = jnp.stack(
         [
             flash_attention(q, k, v, dropout_rate=rate, dropout_seed=jnp.int32(s_))
-            for s_ in range(2 if args.quick else 24)
+            for s_ in range(n_seeds)
         ]
     )
-    err = float(jnp.abs(outs.mean(0) - ref).max())
-    print(f"mean-over-seeds vs no-dropout max err: {err:.4f} (falls as 1/sqrt(n))")
-    # gradient with dropout runs and is finite
+    gate.leq(
+        "dropout_mean_convergence",
+        float(jnp.abs(outs.mean(0) - ref).max()),
+        3 * 0.15 / np.sqrt(n_seeds),
+    )
     g = jax.grad(
         lambda q: (
             flash_attention(q, k, v, dropout_rate=rate, dropout_seed=seed) ** 2
         ).sum()
     )(q)
-    print("dropout grad finite:", bool(jnp.isfinite(g).all()))
+    gate.true("dropout_grad_finite", bool(jnp.isfinite(g).all()))
+    # fused-backward gradient is the split-backward gradient on the kept
+    # entries in expectation: mean over seeds approaches no-dropout dq
+    gd = jnp.stack(
+        [
+            jax.grad(
+                lambda q, s_=s_: (
+                    flash_attention(
+                        q, k, v, dropout_rate=rate, dropout_seed=jnp.int32(s_)
+                    )
+                    ** 2
+                ).sum()
+            )(q)
+            for s_ in range(n_seeds)
+        ]
+    ).mean(0)
+    scale = float(jnp.abs(gf[0]).max())
+    gate.leq(
+        "fused_bwd_mean_convergence_rel",
+        float(jnp.abs(gd - gf[0]).max()) / scale,
+        3 * 0.5 / np.sqrt(n_seeds),
+    )
+
+    report["checks"] = gate.checks
+    report["ok"] = gate.ok
 
     # ---- timing at native shape --------------------------------------
-    if args.quick:
-        return
-    B, H, S, D = 16, 8, 1655, 96
-    flops_fwd = 4 * B * H * S * S * D
-    for dtype in (jnp.bfloat16, jnp.float32):
-        # generate ON DEVICE: host arrays of this size (3x40 MB) would ship
-        # through the (slow) remote-TPU tunnel on every run
-        kq, kk_, kv_ = jax.random.split(jax.random.key(0), 3)
-        qq = (jax.random.normal(kq, (B, H, S, D), dtype) * 0.3)
-        kk = (jax.random.normal(kk_, (B, H, S, D), dtype) * 0.3)
-        vv = (jax.random.normal(kv_, (B, H, S, D), dtype) * 0.3)
-        fwd = jax.jit(
-            lambda q, k, v: flash_attention(
-                q, k, v, block_q=args.block_q, block_k=args.block_k
-            )
-        )
-        t = timeit(fwd, qq, kk, vv)
-        print(
-            f"[{dtype.__name__}] fwd  {t*1e3:7.2f} ms  "
-            f"{flops_fwd/t/1e12:6.1f} TFLOP/s"
-        )
-        grad = jax.jit(
-            jax.grad(
+    if not args.quick:
+        B, H, S, D = 16, 8, 1655, 96
+        flops_fwd = 4 * B * H * S * S * D
+        timing = {}
+        for dtype in (jnp.bfloat16, jnp.float32):
+            # generate ON DEVICE: host arrays of this size (3x40 MB) would
+            # ship through the (slow) remote-TPU tunnel on every run
+            kq, kk_, kv_ = jax.random.split(jax.random.key(0), 3)
+            qq = jax.random.normal(kq, (B, H, S, D), dtype) * 0.3
+            kk = jax.random.normal(kk_, (B, H, S, D), dtype) * 0.3
+            vv = jax.random.normal(kv_, (B, H, S, D), dtype) * 0.3
+            fwd = jax.jit(
                 lambda q, k, v: flash_attention(
                     q, k, v, block_q=args.block_q, block_k=args.block_k
-                ).sum(),
-                argnums=(0, 1, 2),
+                )
             )
-        )
-        t = timeit(grad, qq, kk, vv, iters=10)
-        # bwd ≈ fwd recompute + dq + dkv ≈ 2.5x fwd flops (plus fwd itself)
-        print(
-            f"[{dtype.__name__}] grad {t*1e3:7.2f} ms  "
-            f"{3.5*flops_fwd/t/1e12:6.1f} TFLOP/s (fwd+bwd)"
-        )
-        gradd = jax.jit(
-            jax.grad(
-                lambda q, k, v: flash_attention(
-                    q, k, v, dropout_rate=0.1, dropout_seed=seed,
-                    block_q=args.block_q, block_k=args.block_k,
-                ).sum(),
-                argnums=(0, 1, 2),
+            t = timeit(fwd, qq, kk, vv)
+            timing[f"{dtype.__name__}_fwd_ms"] = round(t * 1e3, 2)
+            timing[f"{dtype.__name__}_fwd_tflops"] = round(flops_fwd / t / 1e12, 1)
+            print(
+                f"[{dtype.__name__}] fwd  {t*1e3:7.2f} ms  "
+                f"{flops_fwd/t/1e12:6.1f} TFLOP/s"
             )
-        )
-        t = timeit(gradd, qq, kk, vv, iters=10)
-        print(
-            f"[{dtype.__name__}] grad+dropout {t*1e3:7.2f} ms  "
-            f"{3.5*flops_fwd/t/1e12:6.1f} TFLOP/s"
-        )
+            grad = jax.jit(
+                jax.grad(
+                    lambda q, k, v: flash_attention(
+                        q, k, v, block_q=args.block_q, block_k=args.block_k
+                    ).sum(),
+                    argnums=(0, 1, 2),
+                )
+            )
+            t = timeit(grad, qq, kk, vv, iters=10)
+            timing[f"{dtype.__name__}_fwdbwd_ms"] = round(t * 1e3, 2)
+            timing[f"{dtype.__name__}_fwdbwd_tflops"] = round(
+                3.5 * flops_fwd / t / 1e12, 1
+            )
+            print(
+                f"[{dtype.__name__}] grad {t*1e3:7.2f} ms  "
+                f"{3.5*flops_fwd/t/1e12:6.1f} TFLOP/s (fwd+bwd)"
+            )
+            gradd = jax.jit(
+                jax.grad(
+                    lambda q, k, v: flash_attention(
+                        q, k, v, dropout_rate=0.1, dropout_seed=seed,
+                        block_q=args.block_q, block_k=args.block_k,
+                    ).sum(),
+                    argnums=(0, 1, 2),
+                )
+            )
+            t = timeit(gradd, qq, kk, vv, iters=10)
+            timing[f"{dtype.__name__}_fwdbwd_dropout_ms"] = round(t * 1e3, 2)
+            timing[f"{dtype.__name__}_fwdbwd_dropout_tflops"] = round(
+                3.5 * flops_fwd / t / 1e12, 1
+            )
+            print(
+                f"[{dtype.__name__}] grad+dropout {t*1e3:7.2f} ms  "
+                f"{3.5*flops_fwd/t/1e12:6.1f} TFLOP/s"
+            )
+        report["timing"] = timing
+
+    if args.json:
+        Path(args.json).write_text(json.dumps(report, indent=2))
+        print(f"wrote {args.json}")
+    if not gate.ok:
+        print("KERNEL CHECK FAILED")
+        return 1
+    print("KERNEL CHECK OK")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
