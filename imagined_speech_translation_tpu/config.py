@@ -84,7 +84,15 @@ class RegionEncoderConfig:
     dropout_tiers: tuple[float, float, float] = (0.05, 0.10, 0.15)
     se_reduction: int = 16            # squeeze-excite (layers.py:275-298)
     num_attn_layers: int = 3
-    attn_heads: tuple[int, ...] = (8, 4, 4)   # head pattern (layers.py:83-95)
+    # Attention head pattern per layer.  The reference uses (8, 4, 4) on 768
+    # dims (layers.py:83-95) — head dims 96/192, which pad to the TPU MXU's
+    # 128-lane tiles and waste 33% of the attention FLOPs.  The TPU-native
+    # default is (6, 6, 6): head dim 128 exactly, measured -21% encoder
+    # forward time (docs/PERFORMANCE.md round-3).  Set (8, 4, 4) to restore
+    # the reference's exact head architecture (the brain encoder trains from
+    # scratch, so this is an architecture choice, not a weight-compat one;
+    # cross-scale attention uses attn_heads[0]//2 heads in both cases).
+    attn_heads: tuple[int, ...] = (6, 6, 6)
     num_temporal_tokens: int = 3      # learned temporal tokens + CLS (layers.py:74-76)
     cross_scale_weight: float = 0.1   # (layers.py:98-103)
     temporal_pool_weight: float = 0.3  # CLS + 0.3*mean(temporal) (layers.py:254-258)
@@ -286,6 +294,13 @@ class TrainingConfig:
     # kernels (33 vs 28 samples/s, tools/tpu_train_bench.py); set false to
     # reproduce the reference numerics exactly.
     mixed_precision: bool = True
+    # Gradient-accumulation carry dtype under mixed precision.  "float32"
+    # (default) is the standard master-gradient scheme; "bfloat16" halves
+    # the accumulator HBM traffic across the accumulation scan at the cost
+    # of ~8 low-order mantissa bits in the summed gradient (guard: the
+    # accumulated-gradient parity test in tests/test_training.py).  Ignored
+    # when mixed_precision is false.
+    grad_accum_dtype: str = "float32"
     # PRNG implementation for the in-step dropout keys.  "rbg" rides XLA's
     # hardware RngBitGenerator — measured 898 -> 794 ms/window on v5e (the
     # default threefry2x32 spends ~100 ms/window computing dropout masks on

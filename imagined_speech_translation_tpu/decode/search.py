@@ -122,6 +122,30 @@ def greedy_search(
 # ---------------------------------------------------------------------------
 
 
+def _exact_top_k(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact, stable top-k over the last axis of ``(B, N)`` — identical
+    results to ``lax.top_k`` (descending values, ties broken by ascending
+    index) but WITHOUT the full-sort lowering.
+
+    On TPU, XLA lowers ``lax.top_k`` over the beam candidate matrix
+    (B, K·V ≈ 150k) to a full variadic sort — profiled at ~3.2 ms/step,
+    85% of the whole beam-decode cost (docs/PERFORMANCE.md round-3).  For
+    the small static k of beam search, k passes of argmax+mask are k
+    linear reduces instead: ~20x faster and bit-identical (argmax ties
+    pick the lowest index, matching top_k's stable order; masking is by
+    index, so duplicated values cannot collide)."""
+    _, n = x.shape
+    cols = jnp.arange(n)[None, :]
+    masked = x
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(masked, axis=-1)
+        vals.append(jnp.take_along_axis(x, i[:, None], axis=-1)[:, 0])
+        idxs.append(i)
+        masked = jnp.where(cols == i[:, None], -jnp.inf, masked)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1).astype(jnp.int32)
+
+
 def _gather_beams(tree, parent: jax.Array, batch: int, k: int):
     """Reorder the (batch*k, ...) leading axis of a cache pytree by
     per-batch parent beam indices ``(batch, k)``."""
@@ -184,7 +208,7 @@ def beam_search(
 
         total = alive_scores[..., None] + logp  # (B, K, V)
         flat = total.reshape(batch, K * V)
-        cand_scores, cand_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+        cand_scores, cand_idx = _exact_top_k(flat, 2 * K)  # (B, 2K)
         cand_beam = cand_idx // V
         cand_tok = (cand_idx % V).astype(jnp.int32)
         is_eos = cand_tok == p.eos_token_id

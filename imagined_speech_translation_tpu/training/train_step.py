@@ -103,6 +103,9 @@ def make_train_step(
     grad_fn = jax.grad(loss_fn, has_aux=True)
     accum = cfg.training.grad_accum_steps
     mixed = cfg.training.mixed_precision
+    accum_dtype = (
+        jnp.dtype(cfg.training.grad_accum_dtype) if mixed else jnp.float32
+    )
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         channel_mask = batch["channel_mask"]
@@ -131,7 +134,13 @@ def make_train_step(
             comps_acc = jax.tree.map(jnp.add, comps_acc, comps)
             return (grads_acc, batch_stats, comps_acc, i + 1), None
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        zero_grads = jax.tree.map(
+            lambda x: jnp.zeros(
+                x.shape,
+                accum_dtype if jnp.issubdtype(x.dtype, jnp.floating) else x.dtype,
+            ),
+            state.params,
+        )
         zero_comps = {
             k: jnp.zeros((), jnp.float32)
             for k in (
@@ -149,7 +158,13 @@ def make_train_step(
             micro_batches,
             length=accum,
         )
-        grads = jax.tree.map(lambda g: g / accum, grads)
+        # optimizer math stays f32 regardless of the accumulation carry
+        grads = jax.tree.map(
+            lambda g: (g / accum).astype(jnp.float32)
+            if jnp.issubdtype(g.dtype, jnp.floating)
+            else g,
+            grads,
+        )
         comps = jax.tree.map(lambda c: c / accum, comps)
 
         grad_norm = optax.global_norm(grads)

@@ -169,8 +169,12 @@ class EEGTrainer:
             state = shard_train_state(
                 state, self.mesh, tp=self.mesh.shape.get("model", 1) > 1
             )
+        # donate the input state: the caller always rebinds to the returned
+        # state, and donation lets XLA update the 310M-param/optimizer
+        # buffers in place instead of copying them every window
         self._train_step = jax.jit(
-            make_train_step(module, self.optimizer, self.cfg, self.bow_indices)
+            make_train_step(module, self.optimizer, self.cfg, self.bow_indices),
+            donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
             make_eval_step(module, self.cfg, self.bow_indices)

@@ -203,3 +203,23 @@ def test_feature_diversity_stats():
     assert float(feature_diversity_stats(same)["diversity_score"]) == pytest.approx(
         0.0, abs=1e-5
     )
+
+
+def test_exact_top_k_matches_lax_top_k():
+    # the beam's sort-free top-k must be bit-identical to lax.top_k,
+    # including stable tie order and repeated values
+    import jax
+    import jax.numpy as jnp
+
+    from imagined_speech_translation_tpu.decode.search import _exact_top_k
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 997)).astype(np.float32))
+    # inject ties and extremes
+    x = x.at[0, 10].set(x[0, 500]).at[1, :8].set(3.25)
+    x = x.at[2, 7].set(-1e9).at[3, :].set(0.0)
+    for k in (1, 3, 6, 9):
+        ev, ei = _exact_top_k(x, k)
+        lv, li = jax.lax.top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(ev), np.asarray(lv))
+        np.testing.assert_array_equal(np.asarray(ei), np.asarray(li))

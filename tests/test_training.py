@@ -232,3 +232,30 @@ def test_trainer_epoch_and_eval(tmp_path):
     assert trainer.check_improvement(bleu4=10.0, diversity=0.5, is_repetitive=False)
     assert not trainer.check_improvement(bleu4=20.0, diversity=0.5, is_repetitive=True)
     assert trainer.best_bleu4 == 10.0
+
+
+def test_bf16_grad_accum_close_to_f32(setup, tmp_path):
+    # guard for training.grad_accum_dtype="bfloat16": the accumulated
+    # gradient must stay close to the f32-master accumulation, and a full
+    # step must produce a loss matching the f32-accum step
+    import dataclasses
+
+    tok, cfg, ds, bow, module, optimizer, state = setup
+    cfg_mp = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, mixed_precision=True)
+    )
+    batch = _window_batch(ds, cfg)
+    rng = jax.random.key(3)
+    f32_step = jax.jit(make_train_step(module, optimizer, cfg_mp, bow))
+    cfg_bf16 = dataclasses.replace(
+        cfg_mp, training=dataclasses.replace(
+            cfg_mp.training, grad_accum_dtype="bfloat16"
+        ),
+    )
+    bf16_step = jax.jit(make_train_step(module, optimizer, cfg_bf16, bow))
+    _, m32 = f32_step(state, batch, rng)
+    _, m16 = bf16_step(state, batch, rng)
+    assert abs(float(m32["loss"]) - float(m16["loss"])) < 1e-2
+    # gradient norms agree to bf16 accumulation precision
+    g32, g16 = float(m32["grad_norm"]), float(m16["grad_norm"])
+    assert abs(g32 - g16) / max(g32, 1e-6) < 0.05
