@@ -94,7 +94,13 @@ def _tile_keep_mask(seed_ref, bh, qi, ki, shape, rate: float, interpret: bool):
         bits = _hash_bits(seed_ref[0, 0], tile_id, shape)
     else:
         pltpu.prng_seed(seed_ref[0, 0], tile_id)
-        bits = pltpu.prng_random_bits(shape)
+        # prng_random_bits returns int32 on hardware; the keep comparison
+        # must be UNSIGNED or the negative half of the bit space sorts below
+        # every threshold (mixed int32>=uint32 promotes through int64 and,
+        # with x64 disabled, truncates back to a SIGNED int32 compare —
+        # silently dropping ~50% at any rate; caught by the round-3
+        # fused_bwd_rate_to_zero hardware gate in tools/tpu_kernel_check.py).
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     return bits >= _dropout_threshold(rate)
 
 

@@ -90,10 +90,10 @@ def main():
     )
     ref = _jnp_attention(q, k, v, None, d**-0.5)
     got = flash_attention(q, k, v)
-    # TPU f32 matmuls pass through the MXU; both paths accumulate in f32 so
-    # the achievable agreement is ~1e-5 of the O(1) outputs.  Bound 5x the
-    # historically-measured error.
-    gate.leq("fwd_f32_max_err", float(jnp.abs(ref - got).max()), 1e-4)
+    # TPU "f32" matmuls ride the MXU, which multiplies at bf16-passes
+    # precision (DEFAULT) in BOTH the oracle einsum and the kernel, so the
+    # achievable agreement on O(1) outputs is ~2e-4.  Bound ~3x measured.
+    gate.leq("fwd_f32_max_err", float(jnp.abs(ref - got).max()), 5e-4)
 
     refb = _jnp_attention(
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
@@ -113,15 +113,57 @@ def main():
 
     gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    # backward recomputes probabilities from the stored logsumexp in the
+    # exp2 log domain; with MXU bf16-pass multiplies on both sides the
+    # gradients agree to ~5e-3 relative (measured: dq 5.6e-3, dk 3.4e-3,
+    # dv 2.3e-4).  Exactness is pinned by the CPU interpret-mode tests;
+    # this gate catches hardware-lowering breakage (order-of-magnitude
+    # regressions), bound ~3x measured.
     for name, a, b_ in zip("qkv", gf, gr):
         scale = float(jnp.abs(b_).max())
         gate.leq(
             f"split_bwd_d{name}_rel_err",
             float(jnp.abs(a - b_).max()) / scale,
-            2e-3,
+            2e-2,
         )
 
     # ---- dropout (fused backward path) --------------------------------
+    # Direct keep-fraction gate on the HARDWARE PRNG: dumps _tile_keep_mask
+    # from a minimal kernel and asserts mean(keep) ~= 1-rate.  This is the
+    # check that catches signed/unsigned comparison bugs in the threshold
+    # (int32 prng bits vs uint32 threshold gave keep=0.4 at rate 0.1 and
+    # keep=1.0 at rate 0.5 before the round-3 bitcast fix).
+    from functools import partial as _partial
+
+    import jax.experimental.pallas as pl_
+    from jax.experimental.pallas import tpu as pltpu_
+
+    from imagined_speech_translation_tpu.ops.pallas_attention import (
+        _tile_keep_mask,
+    )
+
+    def _mask_kernel(seed_ref, out_ref, *, rate_):
+        keep = _tile_keep_mask(
+            seed_ref, jnp.int32(3), jnp.int32(1), jnp.int32(2),
+            out_ref.shape, rate_, False,
+        )
+        out_ref[:] = keep.astype(jnp.float32)
+
+    seed_row = jnp.broadcast_to(jnp.int32(77), (1, 128))
+    for rate_ in (0.1, 0.5):
+        mask = pl_.pallas_call(
+            _partial(_mask_kernel, rate_=rate_),
+            out_shape=jax.ShapeDtypeStruct((256, 512), jnp.float32),
+            in_specs=[pl_.BlockSpec(memory_space=pltpu_.VMEM)],
+            out_specs=pl_.BlockSpec(memory_space=pltpu_.VMEM),
+        )(seed_row)
+        # n=131072 Bernoulli draws: sigma(mean) <= 9e-4; bound ~5 sigma
+        gate.leq(
+            f"dropout_keep_fraction_err_rate{rate_}",
+            abs(float(mask.mean()) - (1.0 - rate_)),
+            5e-3,
+        )
+
     rate = 0.1
     seed = jnp.int32(1234)
     f = jax.jit(
@@ -154,26 +196,33 @@ def main():
         ).sum()
     )(q)
     gate.true("dropout_grad_finite", bool(jnp.isfinite(g).all()))
-    # fused-backward gradient is the split-backward gradient on the kept
-    # entries in expectation: mean over seeds approaches no-dropout dq
-    gd = jnp.stack(
-        [
-            jax.grad(
-                lambda q, s_=s_: (
-                    flash_attention(
-                        q, k, v, dropout_rate=rate, dropout_seed=jnp.int32(s_)
-                    )
-                    ** 2
-                ).sum()
-            )(q)
-            for s_ in range(n_seeds)
-        ]
-    ).mean(0)
+    # fused-backward consistency: deterministic given the seed (forward and
+    # backward regenerate the identical in-kernel mask), and continuous in
+    # the rate — at rate→0 the fused kernel must reproduce the no-dropout
+    # gradient (catches mask-regeneration or scaling bugs in the fused
+    # formulation; an expectation-based check is invalid here because the
+    # squared loss is nonlinear in the mask).
+    grad_drop = jax.jit(
+        jax.grad(
+            lambda q, r: (
+                flash_attention(q, k, v, dropout_rate=r, dropout_seed=seed)
+                ** 2
+            ).sum(),
+            argnums=0,
+        ),
+        static_argnums=1,
+    )
+    g1, g2 = grad_drop(q, rate), grad_drop(q, rate)
+    gate.true("fused_bwd_deterministic_given_seed", bool(jnp.array_equal(g1, g2)))
+    # rate 1e-10 rounds to a zero drop-threshold: the FUSED kernel runs
+    # (dropout path taken) but keeps every element, so it must match the
+    # split no-dropout gradient up to the two formulations' rounding
+    g_tiny = grad_drop(q, 1e-10)
     scale = float(jnp.abs(gf[0]).max())
     gate.leq(
-        "fused_bwd_mean_convergence_rel",
-        float(jnp.abs(gd - gf[0]).max()) / scale,
-        3 * 0.5 / np.sqrt(n_seeds),
+        "fused_bwd_rate_to_zero_rel",
+        float(jnp.abs(g_tiny - gf[0]).max()) / scale,
+        2e-2,
     )
 
     report["checks"] = gate.checks

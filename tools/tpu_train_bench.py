@@ -12,9 +12,13 @@ Usage:  python tools/tpu_train_bench.py [--accum 8] [--micro 4] [--iters 5]
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
