@@ -154,11 +154,13 @@ def main(argv=None):
             max_batch=1,
         )
 
-    registry = SessionRegistry()
+    # the full reference command table (wss/wss.js:52-68) rides alongside the
+    # decode pipeline so companion clients get the complete control plane
+    from ..runtime.commands import build_command_registry
+    from ..runtime.services import ServiceBundle
 
-    @registry.command("not_first_time")
-    async def not_first_time(session, a):
-        return {"first_time": False}
+    bundle = ServiceBundle()
+    registry = build_command_registry(bundle, registry=SessionRegistry())
 
     @registry.command("latency")
     async def latency(session, a):
@@ -166,7 +168,10 @@ def main(argv=None):
         return {k: p.latency.summary() for k, p in pipes.items()}
 
     service = WssService(
-        registry, pipeline_factory=pipeline_factory, n_channels=int(n_ch)
+        registry,
+        pipeline_factory=pipeline_factory,
+        n_channels=int(n_ch),
+        services=bundle,
     )
     logger.info("serving on %s:%d (window=%d, channels=%d)", args.host,
                 args.port, T, n_ch)

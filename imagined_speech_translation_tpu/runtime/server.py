@@ -146,27 +146,19 @@ class WssService:
             await asyncio.Future()
 
 
-def _demo_registry() -> SessionRegistry:
-    reg = SessionRegistry()
-
-    @reg.command("speak")
-    async def speak(session, args):
-        return {"spoken": args[0] if args else ""}
-
-    @reg.command("not_first_time")
-    async def not_first_time(session, args):
-        return {"first_time": False}
-
-    return reg
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=4040)
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    service = WssService(_demo_registry())
+    # full reference command table over the in-memory service bundle — the
+    # same 15-command control plane the Node server exposes (wss/wss.js:52-68)
+    from .commands import build_command_registry
+    from .services import ServiceBundle
+
+    bundle = ServiceBundle()
+    service = WssService(build_command_registry(bundle), services=bundle)
     asyncio.run(service.serve(args.host, args.port))
 
 
