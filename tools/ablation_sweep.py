@@ -74,9 +74,13 @@ def summarize_run(out_dir: Path) -> dict:
     ]
     losses = [r["train/loss"] for r in records if "train/loss" in r]
     val = [r for r in records if "val/bleu_1" in r]
+    # non-overlapping head/tail windows: at most a quarter of the series
+    # each, so sparse logs (log_every_steps > steps/epoch) can't alias the
+    # two means into equality
+    w = max(1, min(10, len(losses) // 4))
     return {
-        "first_loss": round(sum(losses[:10]) / max(len(losses[:10]), 1), 4),
-        "last_loss": round(sum(losses[-10:]) / max(len(losses[-10:]), 1), 4),
+        "first_loss": round(sum(losses[:w]) / max(len(losses[:w]), 1), 4),
+        "last_loss": round(sum(losses[-w:]) / max(len(losses[-w:]), 1), 4),
         "best_bleu1": round(max(r["val/bleu_1"] for r in val), 3) if val else 0.0,
         "best_bleu4": round(
             max(r.get("val/bleu_4", 0.0) for r in val), 3

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--modes", default="fp32,bf16")
     ap.add_argument("--rng-impl", default=None, help="dropout key impl (threefry2x32/rbg)")
+    ap.add_argument(
+        "--accum-dtype",
+        default=None,
+        help="grad accumulation carry dtype under bf16 (float32/bfloat16)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -52,6 +57,10 @@ def main():
         cfg = default_config()
         cfg = replace_nested(cfg, "training.mixed_precision", mode == "bf16")
         cfg = replace_nested(cfg, "training.grad_accum_steps", args.accum)
+        if args.accum_dtype:
+            cfg = replace_nested(
+                cfg, "training.grad_accum_dtype", args.accum_dtype
+            )
         T = cfg.data.n_timepoints
         B = args.micro
 
