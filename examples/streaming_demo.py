@@ -23,6 +23,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
     ap.add_argument("--chunks", type=int, default=12)
+    ap.add_argument(
+        "--source",
+        choices=("noise", "device"),
+        default="noise",
+        help="'device' streams from the native 6x-ADS1299 firmware twin "
+        "(device_native/) instead of host-side numpy noise",
+    )
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -80,7 +87,11 @@ def main():
     ).validate()
 
     with tempfile.TemporaryDirectory() as d:
-        labels = make_synthetic_montage(os.path.join(d, "m.csv"))
+        # the device twin exposes exactly the 48 electrode channels, so its
+        # montage has no filler rows; the noise source mimics the Chisco
+        # 125-row layout (48 mapped, interleaved)
+        n_rows = 48 if args.source == "device" else 125
+        labels = make_synthetic_montage(os.path.join(d, "m.csv"), n_rows)
     spec = RegionSpec.from_channel_names(labels)
     n_ch = int(spec.gather_indices.max() + 1)
 
@@ -108,14 +119,34 @@ def main():
         max_batch=1,
     )
 
+    board = None
+    if args.source == "device":
+        from imagined_speech_translation_tpu.device import NativeBoard
+
+        board = NativeBoard(data_rate_sps=500, noise_seed=7, noise_uv=5.0)
+        board.bring_up()
+        print(
+            f"device twin up: {board.n_channels}ch @ "
+            f"{board.data_rate_sps} SPS (6x ADS1299, gain 24)"
+        )
+
     print(f"streaming {args.chunks} chunks of ({n_ch}ch x {T // 4} samples)...")
     rng = np.random.default_rng(0)
     t0 = time.time()
     utterances = []
     for chunk in range(args.chunks):
         # alternate quiet (gated out) and active segments
-        scale = 0.001 if chunk % 4 == 3 else 1.0
-        samples = (rng.normal(size=(n_ch, T // 4)) * scale).astype(np.float32)
+        quiet = chunk % 4 == 3
+        if board is not None:
+            if quiet:  # inject near-silence at the electrodes
+                board.feed(np.zeros((48, T // 4), np.float32))
+            board.pump(T // 4)
+            samples = board.drain(T // 4) / 100.0  # µV -> model input scale
+        else:
+            scale = 0.001 if quiet else 1.0
+            samples = (rng.normal(size=(n_ch, T // 4)) * scale).astype(
+                np.float32
+            )
         for text in pipe.feed(samples):
             utterances.append(text)
             print(f"  [{time.time() - t0:6.2f}s] utterance: {text!r}")

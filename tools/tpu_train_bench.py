@@ -94,7 +94,12 @@ def main():
             AdaptiveLossScheduler(cfg.training.loss).initial_weights(),
         )
         bow = rng.integers(0, cfg.model.bart.vocab_size, bow_k)
-        step = jax.jit(make_train_step(module, optimizer, cfg, bow))
+        # donate the state exactly as the product trainer does
+        # (trainer.py:172-177) — in-place param/opt-state updates, no
+        # copy-on-write of the 310M-param tree per window
+        step = jax.jit(
+            make_train_step(module, optimizer, cfg, bow), donate_argnums=(0,)
+        )
         batch = {
             "eeg": jax.random.normal(
                 kk[2], (args.accum, B, 4, 16, T), jnp.float32
