@@ -61,8 +61,9 @@ def make_synthetic_corpus(
     n_timepoints: int = 256,
     texts=DEFAULT_TEXTS,
     seed: int = 0,
-    class_conditioned: bool = False,
+    class_conditioned: bool | str = False,
     noise_scale: float = 1.0,
+    montage_labels: list[str] | None = None,
 ) -> list[Path]:
     """Write pickle files; EEG is band-limited noise with per-channel offsets
     so robust scaling is non-trivial.
@@ -72,13 +73,67 @@ def make_synthetic_corpus(
     that is added under the noise, so a model can generalize text from
     held-out windows — the training-proof corpus (imagined-speech stand-in
     with a learnable signal, unlike the pure-noise default).
+
+    ``class_conditioned="relational"`` is the architecture-ablation mode:
+    classes are grouped in PAIRS that share one per-channel local
+    signature (so any region-local feature extractor — a pure CNN —
+    structurally ceilings at pair-level identification), and the two
+    classes of a pair are disambiguated ONLY by cross-region phase
+    offsets: all classes share the same component frequencies/amplitudes
+    (distinct integer DFT bins), each sample gets a random global phase
+    per component, and a class-fixed per-region phase offset rides on
+    top — so within a pair, region-local statistics are class-invariant
+    by construction and separating the pair requires integrating phase
+    ACROSS regions, the job of the cross-region attention / fusion stack
+    the paper ablates (Table 24).  Requires ``montage_labels`` (channels
+    not mapped to a region carry only the local pair signature + noise).
     """
+    relational = class_conditioned == "relational"
+    if relational and montage_labels is None:
+        raise ValueError("relational mode needs montage_labels")
     out_dir = Path(data_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     t = np.arange(n_timepoints) / 256.0
     signatures = {}
-    if class_conditioned:
+    region_of = np.full(n_channels, -1)
+    rel_freqs = rel_amps = rel_deltas = None
+    if relational:
+        from .regions import ELECTRODE_REGIONS
+
+        for r, (_, members) in enumerate(ELECTRODE_REGIONS.items()):
+            mem = set(members)
+            for c, lab in enumerate(montage_labels[:n_channels]):
+                if lab in mem:
+                    region_of[c] = r
+        n_regions = len(ELECTRODE_REGIONS)
+        sig_rng = np.random.default_rng(seed + 1)
+        n_comp = 3
+        # shared across ALL classes: spectra carry no class information.
+        # Distinct INTEGER frequencies = exact DFT bins on the 1-s/256-pt
+        # window, so the components don't leak into each other's bins and
+        # the cross-region phase code stays clean under each component's
+        # independent random global phase
+        rel_freqs = np.sort(
+            sig_rng.choice(np.arange(4, 31), n_comp, replace=False)
+        ).astype(np.float64)
+        rel_amps = sig_rng.uniform(1.0, 2.0, n_comp)
+        # per-class per-region per-component phase offsets — the only
+        # class-dependent quantity in the signal
+        rel_deltas = sig_rng.uniform(
+            0, 2 * np.pi, (len(texts), n_regions, n_comp)
+        )
+        # one local signature per PAIR of classes (k // 2): a region-local
+        # model can find the pair but not the member
+        for k_pair in range((len(texts) + 1) // 2):
+            freqs = np.floor(sig_rng.uniform(31, 60, (n_channels, 3)))
+            phases = sig_rng.uniform(0, 2 * np.pi, (n_channels, 3))
+            amps = sig_rng.uniform(0.5, 2.0, (n_channels, 3))
+            signatures[k_pair] = (
+                amps[:, :, None]
+                * np.sin(2 * np.pi * freqs[:, :, None] * t + phases[:, :, None])
+            ).sum(axis=1)[None]  # (1, C, T)
+    elif class_conditioned:
         sig_rng = np.random.default_rng(seed + 1)
         for k_text, text in enumerate(texts):
             freqs = sig_rng.uniform(2.0, 40.0, (n_channels, 3))
@@ -98,7 +153,21 @@ def make_synthetic_corpus(
             drift = rng.normal(0, 5, (1, n_channels, 1))
             scalep = rng.uniform(0.5, 3.0, (1, n_channels, 1))
             eeg = base * scalep + drift
-            if class_conditioned:
+            if relational:
+                k_text = texts.index(text)
+                # random global phase: absolute phase is uninformative,
+                # only BETWEEN-region offsets separate a pair's members
+                glob = rng.uniform(0, 2 * np.pi, 3)
+                sig = np.zeros((n_channels, n_timepoints))
+                for j in range(3):
+                    ph = glob[j] + rel_deltas[k_text, :, j]  # (n_regions,)
+                    wave = rel_amps[j] * np.sin(
+                        2 * np.pi * rel_freqs[j] * t[None] + ph[:, None]
+                    )  # (n_regions, T)
+                    mapped = region_of >= 0
+                    sig[mapped] += wave[region_of[mapped]]
+                eeg = eeg + 3.0 * scalep * (sig[None] + signatures[k_text // 2])
+            elif class_conditioned:
                 eeg = eeg + 3.0 * scalep * signatures[text]
             samples.append(
                 {

@@ -92,15 +92,31 @@ def _tile_keep_mask(seed_ref, bh, qi, ki, shape, rate: float, interpret: bool):
     tile_id = (bh * 256 + qi) * 256 + ki
     if interpret:
         bits = _hash_bits(seed_ref[0, 0], tile_id, shape)
-    else:
-        pltpu.prng_seed(seed_ref[0, 0], tile_id)
-        # prng_random_bits returns int32 on hardware; the keep comparison
-        # must be UNSIGNED or the negative half of the bit space sorts below
-        # every threshold (mixed int32>=uint32 promotes through int64 and,
-        # with x64 disabled, truncates back to a SIGNED int32 compare —
-        # silently dropping ~50% at any rate; caught by the round-3
-        # fused_bwd_rate_to_zero hardware gate in tools/tpu_kernel_check.py).
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return bits >= _dropout_threshold(rate)
+    pltpu.prng_seed(seed_ref[0, 0], tile_id)
+    if shape[0] % 4 == 0:
+        # Byte-packed draw: generate 4× fewer PRNG words and use each of a
+        # word's four bytes as an independent uniform-u8 draw, unpacked
+        # along sublanes.  PRNG word generation is the dominant cost of the
+        # in-kernel dropout (~25% of the fused-bwd kernel time); the keep
+        # probability quantizes to 1/256 (rate 0.1 → 26/256 ≈ 0.1016,
+        # within the hardware gate's 5e-3 keep-fraction bound and
+        # immaterial to training).  Deterministic in (seed, tile) exactly
+        # like the full-word path, so forward and backward still agree.
+        words = pltpu.bitcast(
+            pltpu.prng_random_bits((shape[0] // 4, shape[1])), jnp.uint32
+        )
+        bytes_ = jnp.concatenate(
+            [(words >> (8 * b)) & jnp.uint32(0xFF) for b in range(4)], axis=0
+        )
+        return bytes_ >= jnp.uint32(min(int(round(rate * 256.0)), 256))
+    # prng_random_bits returns int32 on hardware; the keep comparison
+    # must be UNSIGNED or the negative half of the bit space sorts below
+    # every threshold (mixed int32>=uint32 promotes through int64 and,
+    # with x64 disabled, truncates back to a SIGNED int32 compare —
+    # silently dropping ~50% at any rate; caught by the round-3
+    # fused_bwd_rate_to_zero hardware gate in tools/tpu_kernel_check.py).
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     return bits >= _dropout_threshold(rate)
 
 

@@ -263,3 +263,80 @@ def test_batch_iterator_and_prefetch(corpus_dir):
     import jax
 
     assert isinstance(fed[0]["eeg"], jax.Array)
+
+
+def test_relational_corpus_class_coding(tmp_path):
+    """The ablation-sweep corpus mode: classes come in pairs sharing one
+    local signature — region-LOCAL statistics are pair-invariant
+    (spectra shared, absolute relational phase randomized per sample) and
+    only BETWEEN-region phase offsets separate a pair's members, so a
+    region-local model ceilings at pair identification while integrating
+    architectures can fully separate (tools/ablation_sweep.py relies on
+    this structural margin)."""
+    import collections
+    import pickle
+
+    from imagined_speech_translation_tpu.data.synthetic import DEFAULT_TEXTS
+
+    labels = make_synthetic_montage(tmp_path / "montage.csv")
+    paths = make_synthetic_corpus(
+        tmp_path / "data", n_files=8, samples_per_file=16,
+        n_timepoints=256, seed=3, class_conditioned="relational",
+        noise_scale=0.05, montage_labels=labels,
+    )
+    by_text = collections.defaultdict(list)
+    for p in paths:
+        with open(p, "rb") as fh:
+            for s in pickle.load(fh):
+                by_text[s["text"]].append(s["input_features"][0])
+    # two mapped channels from different regions
+    regions = list(ELECTRODE_REGIONS.values())
+    c_a = labels.index(regions[0][0])
+    c_b = labels.index(regions[2][0])
+    texts = list(DEFAULT_TEXTS)  # pair p = (texts[2p], texts[2p+1])
+
+    def phase_stats(arrs, chan):
+        # phase at the dominant RELATIONAL bin (integer 4..30 Hz on the
+        # 1-s window; the pair signatures live in 31..60 Hz), per sample
+        sp = np.fft.rfft(np.stack([a[chan] for a in arrs]), axis=-1)
+        band = np.abs(sp).mean(axis=0)[4:31]
+        k = band.argmax() + 4
+        return np.angle(sp[:, k])
+
+    # (a) absolute relational phase within one region is uninformative:
+    # the random per-sample global phase spreads it around the circle,
+    # so no single-region feature separates a pair's members
+    for t in texts[:3]:
+        ph = phase_stats(by_text[t], c_a)
+        assert np.abs(np.exp(1j * ph).mean()) < 0.5, "absolute phase leaks"
+    # (b) the BETWEEN-region phase difference is tight within a class and
+    # differs between the two members of each pair
+    diffs = {}
+    for t in texts:
+        pa = phase_stats(by_text[t], c_a)
+        pb = phase_stats(by_text[t], c_b)
+        d = np.exp(1j * (pa - pb))
+        conc = np.abs(d.mean())  # circular concentration, 1 = identical
+        assert conc > 0.95, f"within-class phase diff not tight: {conc}"
+        diffs[t] = np.angle(d.mean())
+    for p in range(len(texts) // 2):
+        a, b = diffs[texts[2 * p]], diffs[texts[2 * p + 1]]
+        sep = np.abs(np.angle(np.exp(1j * (a - b))))
+        assert sep > 0.1, f"pair {p} not phase-separated: {sep}"
+    # (c) per-channel amplitude spectra are PAIR-invariant: the only
+    # local difference between pair members is below the noise floor
+    def mean_spec(arrs, chan):
+        # per-sample norm removes the random per-channel scale multiplier
+        # exactly, so the comparison is of spectral SHAPE
+        sp = np.abs(np.fft.rfft(np.stack([a[chan] for a in arrs]), axis=-1))
+        sp = sp[:, 1:]  # drop DC: the random per-sample drift offset
+        return (sp / np.linalg.norm(sp, axis=-1, keepdims=True)).mean(axis=0)
+
+    s0 = mean_spec(by_text[texts[0]], c_a)
+    s1 = mean_spec(by_text[texts[1]], c_a)
+    cos = (s0 * s1).sum() / (np.linalg.norm(s0) * np.linalg.norm(s1))
+    assert cos > 0.99, f"intra-pair spectra leak local information: {cos}"
+    # …while DIFFERENT pairs are locally separable (the CNN's signal)
+    s2 = mean_spec(by_text[texts[2]], c_a)
+    cos2 = (s0 * s2).sum() / (np.linalg.norm(s0) * np.linalg.norm(s2))
+    assert cos2 < cos, "pair signatures should differ across pairs"

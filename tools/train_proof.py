@@ -30,7 +30,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build_corpus(root: Path, n_timepoints: int):
+def build_corpus(root: Path, n_timepoints: int, *, mode=True, samples_per_file=32):
+    """``mode`` is forwarded to ``class_conditioned``: True = per-channel
+    signatures (training proof), "relational" = paired local signatures +
+    cross-region-phase disambiguation (architecture ablations)."""
     from imagined_speech_translation_tpu.data import (
         make_synthetic_corpus,
         make_synthetic_montage,
@@ -38,13 +41,14 @@ def build_corpus(root: Path, n_timepoints: int):
     from imagined_speech_translation_tpu.data.synthetic import DEFAULT_TEXTS
 
     data_dir = root / "eeg"
-    make_synthetic_corpus(
-        data_dir, n_files=10, samples_per_file=32,
-        n_timepoints=n_timepoints, seed=11,
-        class_conditioned=True, noise_scale=0.5,
-    )
     montage = root / "montage.csv"
-    make_synthetic_montage(montage)
+    labels = make_synthetic_montage(montage)
+    make_synthetic_corpus(
+        data_dir, n_files=10, samples_per_file=samples_per_file,
+        n_timepoints=n_timepoints, seed=11,
+        class_conditioned=mode, noise_scale=0.5,
+        montage_labels=labels,
+    )
     # vocab.txt covering the corpus texts (BERT-style layout)
     chars = sorted({c for t in DEFAULT_TEXTS for c in t})
     vocab = (
