@@ -35,6 +35,7 @@ from .streaming import (  # noqa: F401
     ThresholdWakeGate,
     Windower,
 )
+from .batcher import BatchScheduler, BatchingDecodePipeline  # noqa: F401
 from .services import ServiceBundle  # noqa: F401
 from .actions import DeviceChannel, UserActions, build_action_registry  # noqa: F401
 from .commands import build_command_registry, COMMAND_NAMES  # noqa: F401

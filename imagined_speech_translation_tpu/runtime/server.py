@@ -33,6 +33,14 @@ from .streaming import DecodePipeline
 logger = logging.getLogger(__name__)
 
 
+async def _maybe_await(result):
+    """Pipelines may be sync (:class:`DecodePipeline`) or async (the
+    cross-session :class:`~.batcher.BatchingDecodePipeline`)."""
+    if asyncio.iscoroutine(result):
+        return await result
+    return result
+
+
 class WssService:
     def __init__(
         self,
@@ -73,10 +81,10 @@ class WssService:
             samples = np.frombuffer(frame.payload, np.float32).reshape(
                 self.n_channels, -1
             )
-            return pipe.feed(samples)
+            return await _maybe_await(pipe.feed(samples))
         if frame.command == "eeg_end":
             pipe = self._pipeline_for(frame.auth_key)
-            return pipe.flush()
+            return await _maybe_await(pipe.flush())
         if frame.command in ("audio", "speech_to_text"):
             # the conversational loop (SURVEY.md §3.5): device audio → STT →
             # LLM → function-call DSL executed against the action registry
