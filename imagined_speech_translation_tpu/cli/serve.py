@@ -25,8 +25,17 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def build_decode_fn(cfg, tokenizer, region_spec, variables):
-    """(N, 48, T) raw windows → list[str], one fused jitted program."""
+def build_decode_fn(cfg, tokenizer, region_spec, variables, *, mesh=None):
+    """(N, 48, T) raw windows → list[str], one fused jitted program.
+
+    With ``mesh`` (a ``jax.sharding.Mesh``), the batch axis is sharded over
+    every non-``model`` mesh axis and the weights are replicated, so one
+    pooled serving batch (``runtime.batcher.BatchScheduler``) fans out over
+    all chips via SPMD — the decode twin of the trainer's DP axis
+    (``parallel/mesh.py``).  ``N`` must then be a multiple of the product of
+    the sharded axis sizes (the scheduler's ``max_batch`` padding guarantees
+    a fixed, divisible shape).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -54,14 +63,32 @@ def build_decode_fn(cfg, tokenizer, region_spec, variables):
     R, C = mask.shape
     T = cfg.data.n_timepoints
 
-    @jax.jit
     def run(raw):
         clean = frontend.preprocess(raw)
         stacked = clean[:, gather.reshape(-1), :].reshape(raw.shape[0], R, C, T)
         stacked = jnp.where(mask[None, :, :, None], stacked, 0.0)
         return generate(variables, stacked, mask)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_axes = tuple(n for n in mesh.axis_names if n != "model")
+        n_shards = int(np.prod([mesh.shape[a] for a in batch_axes]))
+        # weights replicated once at build time; windows sharded on batch
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        run = jax.jit(
+            run, in_shardings=NamedSharding(mesh, P(batch_axes))
+        )
+    else:
+        n_shards = 1
+        run = jax.jit(run)
+
     def decode_fn(windows: np.ndarray):
+        if windows.shape[0] % n_shards:
+            raise ValueError(
+                f"batch {windows.shape[0]} not divisible by the mesh's "
+                f"{n_shards} batch shards"
+            )
         tokens = np.asarray(run(jnp.asarray(windows, jnp.float32)))
         return [t.strip() for t in tokenizer.batch_decode(tokens)]
 
@@ -80,6 +107,21 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=4040)
     ap.add_argument("--window-hop", type=int, default=None)
     ap.add_argument("--wake-threshold", type=float, default=0.0)
+    ap.add_argument(
+        "--max-batch", type=int, default=1,
+        help=">1 pools windows from ALL sessions into fixed-shape decode "
+        "batches (runtime.batcher.BatchScheduler)",
+    )
+    ap.add_argument(
+        "--max-delay-ms", type=float, default=25.0,
+        help="batching deadline: launch at most this long after the oldest "
+        "pending window arrived",
+    )
+    ap.add_argument(
+        "--data-parallel", type=int, default=0,
+        help="shard each decode batch over this many devices (0 = single "
+        "device); requires --max-batch divisible by it",
+    )
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     if args.platform:
@@ -135,18 +177,41 @@ def main(argv=None):
     else:
         logger.warning("serving with random weights (smoke mode)")
 
-    decode_fn = build_decode_fn(cfg, tokenizer, spec, variables)
+    mesh = None
+    if args.data_parallel > 1:
+        if args.max_batch % args.data_parallel:
+            ap.error("--max-batch must be divisible by --data-parallel")
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(args.data_parallel, 1)
+        logger.info("decode mesh: %s", dict(mesh.shape))
+    decode_fn = build_decode_fn(cfg, tokenizer, spec, variables, mesh=mesh)
 
     n_ch = spec.gather_indices.max() + 1  # raw montage channels expected
 
     logger.info("warming up the decode program...")
-    decode_fn(np.zeros((1, int(n_ch), T), np.float32))
+    decode_fn(np.zeros((max(1, args.max_batch), int(n_ch), T), np.float32))
     logger.info("decode program ready")
 
-    def pipeline_factory(key: str) -> DecodePipeline:
+    scheduler = None
+    if args.max_batch > 1:
+        from ..runtime import BatchScheduler, BatchingDecodePipeline
+
+        scheduler = BatchScheduler(
+            decode_fn, max_batch=args.max_batch,
+            max_delay_ms=args.max_delay_ms,
+        )
+
+    def pipeline_factory(key: str):
         ring = RingBuffer(int(n_ch), capacity=4 * T)
         hop = args.window_hop or T
         gate = ThresholdWakeGate(args.wake_threshold) if args.wake_threshold else None
+        if scheduler is not None:
+            return BatchingDecodePipeline(
+                windower=Windower(ring, window=T, hop=hop),
+                scheduler=scheduler,
+                wake_gate=gate,
+            )
         return DecodePipeline(
             windower=Windower(ring, window=T, hop=hop),
             decode_fn=decode_fn,
@@ -164,6 +229,8 @@ def main(argv=None):
 
     @registry.command("latency")
     async def latency(session, a):
+        if scheduler is not None:
+            return {"pooled": scheduler.stats()}
         pipes = service._pipelines
         return {k: p.latency.summary() for k, p in pipes.items()}
 
@@ -175,7 +242,15 @@ def main(argv=None):
     )
     logger.info("serving on %s:%d (window=%d, channels=%d)", args.host,
                 args.port, T, n_ch)
-    asyncio.run(service.serve(args.host, args.port))
+
+    async def amain():
+        if scheduler is not None:
+            async with scheduler:
+                await service.serve(args.host, args.port)
+        else:
+            await service.serve(args.host, args.port)
+
+    asyncio.run(amain())
 
 
 if __name__ == "__main__":

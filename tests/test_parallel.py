@@ -276,3 +276,48 @@ def test_trainer_mesh_batch_divisibility_error(tmp_path, eight_devices):
     )
     with pytest.raises(ValueError, match="not divisible"):
         trainer.init_state(jax.random.key(0))
+
+
+def test_sharded_serving_decode_matches_single_device(
+    setup, eight_devices, tmp_path
+):
+    """``build_decode_fn(mesh=)`` — the serving twin of the trainer's DP
+    axis — produces text identical to the unsharded program, enforces the
+    batch-divisibility contract, and composes with the cross-session
+    ``BatchScheduler`` (pooled windows fan out over all 8 devices)."""
+    import asyncio
+
+    from imagined_speech_translation_tpu.cli.serve import build_decode_fn
+    from imagined_speech_translation_tpu.data.regions import RegionSpec
+    from imagined_speech_translation_tpu.data.synthetic import (
+        make_synthetic_montage,
+    )
+    from imagined_speech_translation_tpu.runtime import BatchScheduler
+
+    cfg, module, optimizer, bow, state, batch = setup
+    tok = tiny_tokenizer()
+    labels = make_synthetic_montage(tmp_path / "m.csv")
+    spec = RegionSpec.from_channel_names(labels)
+    mv = state.model_variables()
+
+    ref_fn = build_decode_fn(cfg, tok, spec, mv)
+    dp_fn = build_decode_fn(cfg, tok, spec, mv, mesh=make_mesh(8, 1))
+
+    n_ch = int(spec.gather_indices.max() + 1)
+    windows = (
+        np.random.default_rng(7)
+        .normal(size=(8, n_ch, cfg.data.n_timepoints))
+        .astype(np.float32)
+    )
+    ref_texts = ref_fn(windows)
+    assert dp_fn(windows) == ref_texts
+    with pytest.raises(ValueError, match="not divisible"):
+        dp_fn(windows[:3])
+
+    # pooled scheduler feeding the sharded program: 5 live windows pad to
+    # the static batch of 8, outputs match the unsharded per-row decodes
+    async def flow():
+        async with BatchScheduler(dp_fn, max_batch=8, max_delay_ms=20) as s:
+            return await asyncio.gather(*(s.submit(w) for w in windows[:5]))
+
+    assert asyncio.run(flow()) == ref_texts[:5]
