@@ -150,16 +150,23 @@ class BatchScheduler:
         windows = [w for w, _, _ in take]
         n = len(windows)
         self.fills.append(n)
-        if n < self.max_batch:
-            pad = (
-                windows[0]
-                if self.pad_mode == "repeat_first"
-                else np.zeros_like(windows[0])
-            )
-            windows = windows + [pad] * (self.max_batch - n)
-        batch = np.stack(windows)
         try:
+            # stack/pad inside the guard: a session pushing a mismatched
+            # window shape must fail ITS futures, not kill the dispatcher
+            # (every later submit would hang forever)
+            if n < self.max_batch:
+                pad = (
+                    windows[0]
+                    if self.pad_mode == "repeat_first"
+                    else np.zeros_like(windows[0])
+                )
+                windows = windows + [pad] * (self.max_batch - n)
+            batch = np.stack(windows)
             texts = list(await asyncio.to_thread(self.decode_fn, batch))
+            if len(texts) < n:
+                raise ValueError(
+                    f"decode_fn returned {len(texts)} texts for {n} windows"
+                )
         except Exception as e:
             for _, fut, _ in take:
                 if not fut.done():

@@ -268,3 +268,38 @@ def test_wss_service_with_batching_pipeline():
     assert ta == ["t1.000"] and tb == ["t2.000"]
     assert ends == [[], []]
     assert fills == [2] and len(dec.batches) == 1
+
+
+def test_mismatched_window_shape_fails_batch_not_dispatcher():
+    """A rogue session's oddly-shaped window must error ITS submitters and
+    leave the scheduler serving everyone else."""
+    dec = RecordingDecoder()
+
+    async def flow():
+        async with BatchScheduler(dec, max_batch=2, max_delay_ms=10) as s:
+            good = s.submit(_window(1.0))
+            bad = s.submit(np.zeros((3, 5), np.float32))  # wrong shape
+            res = await asyncio.gather(good, bad, return_exceptions=True)
+            # the scheduler survives: a later clean batch still decodes
+            after = await s.submit(_window(2.0))
+            return res, after
+
+    res, after = run(flow())
+    assert all(isinstance(r, RuntimeError) for r in res)
+    assert after == "t2.000"
+
+
+def test_short_decode_output_errors_instead_of_hanging():
+    class ShortDecoder:
+        def __call__(self, batch):
+            return ["only-one"]  # fewer texts than real rows
+
+    async def flow():
+        async with BatchScheduler(ShortDecoder(), max_batch=2, max_delay_ms=10) as s:
+            return await asyncio.gather(
+                s.submit(_window(1.0)), s.submit(_window(2.0)),
+                return_exceptions=True,
+            )
+
+    res = run(flow())
+    assert all(isinstance(r, RuntimeError) for r in res)
