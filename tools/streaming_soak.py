@@ -38,8 +38,13 @@ def _rss_mb() -> float:
     return float("nan")
 
 
-def build_service(n_channels: int, window: int):
-    """WssService with a REAL jitted tiny-model decode pipeline (CPU)."""
+def build_service(n_channels: int, window: int, pooled: bool = False):
+    """WssService with a REAL jitted tiny-model decode pipeline (CPU).
+
+    ``pooled=True`` routes every session through one shared
+    ``BatchScheduler`` (``runtime/batcher.py``) instead of per-session
+    ``DecodePipeline`` batching — the multi-tenant serving configuration of
+    ``cli/serve --max-batch``."""
     import os
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -131,14 +136,35 @@ def build_service(n_channels: int, window: int):
         )
         return [" ".join(map(str, row[row > 0])) for row in toks[:n]]
 
-    def pipeline_factory(key):
-        rb = RingBuffer(n_channels, window * 8)
-        return DecodePipeline(
-            windower=Windower(rb, window=window, hop=window),
-            decode_fn=decode_fn,
-            wake_gate=ThresholdWakeGate(0.05),
-            max_batch=max_batch,
+    scheduler = None
+    if pooled:
+        from imagined_speech_translation_tpu.runtime.batcher import (
+            BatchScheduler,
+            BatchingDecodePipeline,
         )
+
+        scheduler = BatchScheduler(
+            decode_fn, max_batch=max_batch, max_delay_ms=25.0
+        )
+
+        def pipeline_factory(key):
+            rb = RingBuffer(n_channels, window * 8)
+            return BatchingDecodePipeline(
+                windower=Windower(rb, window=window, hop=window),
+                scheduler=scheduler,
+                wake_gate=ThresholdWakeGate(0.05),
+            )
+
+    else:
+
+        def pipeline_factory(key):
+            rb = RingBuffer(n_channels, window * 8)
+            return DecodePipeline(
+                windower=Windower(rb, window=window, hop=window),
+                decode_fn=decode_fn,
+                wake_gate=ThresholdWakeGate(0.05),
+                max_batch=max_batch,
+            )
 
     reg = SessionRegistry()
 
@@ -147,10 +173,16 @@ def build_service(n_channels: int, window: int):
         return {"spoken": args[0] if args else ""}
 
     svc = WssService(reg, pipeline_factory=pipeline_factory, n_channels=n_channels)
-    return svc, reg
+    return svc, reg, scheduler
 
 
-async def soak(minutes: float, out_dir: Path, port: int) -> dict:
+async def soak(
+    minutes: float,
+    out_dir: Path,
+    port: int,
+    sessions: int = 1,
+    pooled: bool = False,
+) -> dict:
     import websockets
 
     from imagined_speech_translation_tpu.runtime.protocol import (
@@ -160,7 +192,7 @@ async def soak(minutes: float, out_dir: Path, port: int) -> dict:
     from imagined_speech_translation_tpu.runtime.protocol import BinaryFrame, TextFrame
 
     n_channels, window = 48, 128
-    svc, reg = build_service(n_channels, window)
+    svc, reg, scheduler = build_service(n_channels, window, pooled=pooled)
 
     counters = {
         "frames_sent": 0, "utterances": 0, "errors": 0, "text_cmds": 0,
@@ -188,14 +220,21 @@ async def soak(minutes: float, out_dir: Path, port: int) -> dict:
     t0 = time.time()
     rng = np.random.default_rng(0)
 
-    async with websockets.serve(handler, "127.0.0.1", port):
+    first_key = [None]
+
+    async def session_loop(s_idx: int):
+        """One device connection streaming for the whole soak."""
+        s_rng = np.random.default_rng(s_idx)
         async with websockets.connect(
             f"ws://127.0.0.1:{port}", max_size=None
         ) as ws:
-            # authenticate to get a session key
-            await ws.send("authentication¬soak-token")
+            await ws.send(f"authentication¬soak-token-{s_idx}")
             reply = await ws.recv()
             key = json.loads(reply.split("¬")[2])
+            if s_idx == 0:
+                first_key[0] = key
+
+            last_end = [time.time()]
 
             async def reader():
                 async for msg in ws:
@@ -211,14 +250,13 @@ async def soak(minutes: float, out_dir: Path, port: int) -> dict:
                             if counters["errors"] < 5:
                                 print("ERR:", msg[:200], flush=True)
 
-            last_end = [time.time()]
             rtask = asyncio.create_task(reader())
             next_sample = t0
             i = 0
             while time.time() < t_end:
-                chunk = rng.normal(0, 1, (n_channels, window // 2)).astype(
-                    np.float32
-                )
+                chunk = s_rng.normal(
+                    0, 1, (n_channels, window // 2)
+                ).astype(np.float32)
                 await ws.send(
                     encode_binary_frame(
                         BinaryFrame("eeg", key, chunk.tobytes())
@@ -234,14 +272,26 @@ async def soak(minutes: float, out_dir: Path, port: int) -> dict:
                 if i % 64 == 0:
                     await ws.send(f"speak¬{key}¬soak check {i}")
                     counters["text_cmds"] += 1
-                if time.time() >= next_sample:
+                if s_idx == 0 and time.time() >= next_sample:
                     rss.append((time.time() - t0, _rss_mb()))
                     next_sample += 10.0
-                await asyncio.sleep(0.02)
+                # keep the AGGREGATE frame rate constant as sessions scale
+                await asyncio.sleep(0.02 * sessions)
             # drain
             await ws.send(encode_binary_frame(BinaryFrame("eeg_end", key, b"")))
             await asyncio.sleep(1.0)
             rtask.cancel()
+
+    async def run_clients():
+        await asyncio.gather(*(session_loop(i) for i in range(sessions)))
+
+    async with websockets.serve(handler, "127.0.0.1", port):
+        if scheduler is not None:
+            async with scheduler:
+                await run_clients()
+        else:
+            await run_clients()
+    key = first_key[0]
 
     # ---- analysis ----------------------------------------------------
     dur_s = time.time() - t0
@@ -274,8 +324,13 @@ async def soak(minutes: float, out_dir: Path, port: int) -> dict:
         "rss_end_mb": round(rss[-1][1], 1) if rss else None,
         "rss_slope_second_half_mb_per_h": round(slope_mb_per_h, 2),
         "rss_series": [(round(t, 1), round(m, 1)) for t, m in rss],
+        "sessions": sessions,
+        "pooled": pooled,
         "pipeline_latency": (
-            svc._pipelines[key].latency.summary() if key in svc._pipelines
+            scheduler.stats()
+            if scheduler is not None
+            else svc._pipelines[key].latency.summary()
+            if key in svc._pipelines
             else None
         ),
     }
@@ -301,8 +356,18 @@ def main():
     ap.add_argument("--minutes", type=float, default=120.0)
     ap.add_argument("--out", default="runs/soak")
     ap.add_argument("--port", type=int, default=41414)
+    ap.add_argument("--sessions", type=int, default=1)
+    ap.add_argument(
+        "--pooled", action="store_true",
+        help="route all sessions through one shared BatchScheduler",
+    )
     args = ap.parse_args()
-    report = asyncio.run(soak(args.minutes, Path(args.out), args.port))
+    report = asyncio.run(
+        soak(
+            args.minutes, Path(args.out), args.port,
+            sessions=args.sessions, pooled=args.pooled,
+        )
+    )
     slim = {k: v for k, v in report.items() if k != "rss_series"}
     print(json.dumps(slim))
     return 0 if report["ok"] else 1
