@@ -37,6 +37,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -238,11 +239,17 @@ def _local_tree_equal(a, b) -> bool:
 
 def _pin_cpu(n_devices: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_devices}"
-        ).strip()
+    # force EXACTLY n_devices: an inherited device-count flag (e.g. the test
+    # suite's 8-device conftest env leaking into our subprocesses) must be
+    # replaced, not kept — worker device counts are part of the proof
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        os.environ.get("XLA_FLAGS", ""),
+    ).strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -328,8 +335,8 @@ def orchestrate(out_dir: Path, *, timeout: float = 900.0) -> dict:
     out_dir.mkdir(parents=True, exist_ok=True)
     base_env = {
         k: v for k, v in os.environ.items()
-        if k not in ("JAX_PLATFORMS", "IST_COORDINATOR", "IST_NUM_PROCESSES",
-                     "IST_PROCESS_ID", "IST_DISTRIBUTED")
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "IST_COORDINATOR",
+                     "IST_NUM_PROCESSES", "IST_PROCESS_ID", "IST_DISTRIBUTED")
     }
     base_env["JAX_PLATFORMS"] = "cpu"
 
