@@ -39,12 +39,16 @@ scheduler for the decode itself.
 from __future__ import annotations
 
 import asyncio
+import logging
 import time
+from collections import deque
 from typing import Callable, Sequence
 
 import numpy as np
 
 from .streaming import LatencyStats, Windower
+
+logger = logging.getLogger(__name__)
 
 
 class BatchScheduler:
@@ -68,8 +72,12 @@ class BatchScheduler:
         self.max_delay = max_delay_ms / 1e3
         self.pad_mode = pad_mode
         self.latency = LatencyStats()
-        #: per-launch real-row counts (batch-fill telemetry)
-        self.fills: list[int] = []
+        #: recent per-launch real-row counts (batch-fill telemetry; bounded —
+        #: the scheduler lives for the server's lifetime)
+        self.fills: deque[int] = deque(maxlen=4096)
+        #: cumulative launch count
+        self.batches = 0
+        self._shape: tuple[int, ...] | None = None
         self._pending: list[tuple[np.ndarray, asyncio.Future, float]] = []
         self._wakeup: asyncio.Event | None = None
         self._task: asyncio.Task | None = None
@@ -107,10 +115,17 @@ class BatchScheduler:
             raise RuntimeError("scheduler not started")
         if self._closed:
             raise RuntimeError("scheduler stopped")
+        window = np.asarray(window, np.float32)
+        # reject mismatched shapes HERE so a rogue session can never poison
+        # a batch shared with other sessions' windows
+        if self._shape is None:
+            self._shape = window.shape
+        elif window.shape != self._shape:
+            raise ValueError(
+                f"window shape {window.shape} != scheduler shape {self._shape}"
+            )
         fut = asyncio.get_running_loop().create_future()
-        self._pending.append(
-            (np.asarray(window, np.float32), fut, time.monotonic())
-        )
+        self._pending.append((window, fut, time.monotonic()))
         self._wakeup.set()
         return await fut
 
@@ -150,6 +165,7 @@ class BatchScheduler:
         windows = [w for w, _, _ in take]
         n = len(windows)
         self.fills.append(n)
+        self.batches += 1
         try:
             # stack/pad inside the guard: a session pushing a mismatched
             # window shape must fail ITS futures, not kill the dispatcher
@@ -183,8 +199,8 @@ class BatchScheduler:
     # -- telemetry ------------------------------------------------------
     def stats(self) -> dict:
         s = self.latency.summary()
-        s["batches"] = len(self.fills)
-        s["mean_fill"] = (
+        s["batches"] = self.batches
+        s["mean_fill"] = (  # over the recent (bounded) fill window
             float(np.mean(self.fills)) if self.fills else None
         )
         return s
@@ -214,11 +230,20 @@ class BatchingDecodePipeline:
         gated = [w for w in self.windower.poll() if self.wake_gate(w)]
         if not gated:
             return []
-        return list(
-            await asyncio.gather(
-                *(self.scheduler.submit(w) for w in gated)
-            )
+        results = await asyncio.gather(
+            *(self.scheduler.submit(w) for w in gated),
+            return_exceptions=True,
         )
+        # deliver every window that DID decode; only fail the call when
+        # nothing came back (one bad batch must not discard sibling
+        # windows' successfully decoded text)
+        texts = [r for r in results if isinstance(r, str)]
+        failures = [r for r in results if isinstance(r, BaseException)]
+        if failures and not texts:
+            raise failures[0]
+        for f in failures:
+            logger.warning("window decode failed: %s", f)
+        return texts
 
     async def flush(self) -> list[str]:
         """Windowing is hop-driven; nothing buffers session-side."""

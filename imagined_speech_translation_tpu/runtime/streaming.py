@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import statistics
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
@@ -110,9 +111,21 @@ class ThresholdWakeGate:
 
 @dataclass
 class LatencyStats:
-    samples_ms: list[float] = field(default_factory=list)
+    """Bounded latency telemetry: percentiles over the most recent
+    ``window`` samples, cumulative ``count`` over the process lifetime (a
+    server-lifetime pipeline must not grow or re-sort an unbounded
+    history on every ``latency¬`` control query)."""
+
+    window: int = 10_000
+    samples_ms: "deque[float]" = None  # type: ignore[assignment]
+    total: int = 0
+
+    def __post_init__(self):
+        if self.samples_ms is None:
+            self.samples_ms = deque(maxlen=self.window)
 
     def record(self, seconds: float) -> None:
+        self.total += 1
         self.samples_ms.append(seconds * 1e3)
 
     def summary(self) -> dict:
@@ -120,7 +133,7 @@ class LatencyStats:
             return {"count": 0, "p50_ms": None, "p95_ms": None, "mean_ms": None}
         ordered = sorted(self.samples_ms)
         return {
-            "count": len(ordered),
+            "count": self.total,
             "p50_ms": statistics.median(ordered),
             "p95_ms": ordered[min(len(ordered) - 1, int(0.95 * len(ordered)))],
             "mean_ms": statistics.fmean(ordered),

@@ -56,7 +56,7 @@ def test_fill_triggered_launch_static_shape():
 
     texts, fills = run(flow())
     # a full batch launches immediately (deadline was 10 s away)
-    assert fills == [4]
+    assert list(fills) == [4]
     assert dec.batches[0].shape == (4, 2, 8)
     # each submitter got its OWN window's decode, in submission order
     assert texts == ["t0.000", "t1.000", "t2.000", "t3.000"]
@@ -76,7 +76,7 @@ def test_deadline_launch_pads_to_static_shape():
 
     texts, waited, fills = run(flow())
     assert texts == ["t1.000", "t2.000"]
-    assert fills == [2]
+    assert list(fills) == [2]
     # the program still saw the ONE compiled shape, padded with row 0
     assert dec.batches[0].shape == (8, 2, 8)
     np.testing.assert_array_equal(dec.batches[0][2], dec.batches[0][0])
@@ -146,7 +146,7 @@ def test_stop_drains_pending():
 
     texts, fills = run(flow())
     assert texts == ["t0.000", "t1.000", "t2.000"]
-    assert fills == [3]
+    assert list(fills) == [3]
 
 
 def test_lifecycle_errors():
@@ -187,7 +187,7 @@ def test_cross_session_pooling_one_program():
 
     ta, tb, fills = run(flow())
     assert ta == ["t1.000"] and tb == ["t2.000"]
-    assert fills == [2]  # one full launch, not two half-empty ones
+    assert list(fills) == [2]  # one full launch, not two half-empty ones
     assert len(dec.batches) == 1
 
 
@@ -267,26 +267,23 @@ def test_wss_service_with_batching_pipeline():
     ta, tb, ends, fills = run(flow())
     assert ta == ["t1.000"] and tb == ["t2.000"]
     assert ends == [[], []]
-    assert fills == [2] and len(dec.batches) == 1
+    assert list(fills) == [2] and len(dec.batches) == 1
 
 
-def test_mismatched_window_shape_fails_batch_not_dispatcher():
-    """A rogue session's oddly-shaped window must error ITS submitters and
-    leave the scheduler serving everyone else."""
+def test_mismatched_window_shape_rejected_at_submit():
+    """A rogue session's oddly-shaped window errors ONLY its own submit;
+    innocent windows already pooled decode normally."""
     dec = RecordingDecoder()
 
     async def flow():
         async with BatchScheduler(dec, max_batch=2, max_delay_ms=10) as s:
-            good = s.submit(_window(1.0))
-            bad = s.submit(np.zeros((3, 5), np.float32))  # wrong shape
-            res = await asyncio.gather(good, bad, return_exceptions=True)
-            # the scheduler survives: a later clean batch still decodes
-            after = await s.submit(_window(2.0))
-            return res, after
+            good = asyncio.ensure_future(s.submit(_window(1.0)))
+            await asyncio.sleep(0)  # good window enqueued, shape learned
+            with pytest.raises(ValueError, match="scheduler shape"):
+                await s.submit(np.zeros((3, 5), np.float32))
+            return await good
 
-    res, after = run(flow())
-    assert all(isinstance(r, RuntimeError) for r in res)
-    assert after == "t2.000"
+    assert run(flow()) == "t1.000"
 
 
 def test_short_decode_output_errors_instead_of_hanging():
@@ -303,3 +300,28 @@ def test_short_decode_output_errors_instead_of_hanging():
 
     res = run(flow())
     assert all(isinstance(r, RuntimeError) for r in res)
+
+
+def test_feed_delivers_partial_successes():
+    """One failed batch must not discard sibling windows' decoded text."""
+
+    class FlakyDecoder(RecordingDecoder):
+        def __call__(self, batch):
+            if not self.batches:  # fail only the FIRST launch
+                self.batches.append(None)
+                raise ValueError("transient")
+            return super().__call__(batch)
+
+    async def flow():
+        async with BatchScheduler(
+            FlakyDecoder(), max_batch=1, max_delay_ms=5
+        ) as s:
+            pipe = BatchingDecodePipeline(
+                windower=Windower(RingBuffer(2, 64), window=8, hop=8),
+                scheduler=s,
+            )
+            # one chunk spanning two hops -> two windows -> two batches
+            # (max_batch=1); the first decode launch fails, the second works
+            return await pipe.feed(np.full((2, 16), 2.0, np.float32))
+
+    assert run(flow()) == ["t2.000"]

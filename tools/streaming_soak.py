@@ -218,7 +218,6 @@ async def soak(
 
     t_end = time.time() + minutes * 60.0
     t0 = time.time()
-    rng = np.random.default_rng(0)
 
     first_key = [None]
 

@@ -270,7 +270,7 @@ def main():
         "backward (grads_only - fwd_only)": round(
             (results["grads_only"] - results["fwd_only"]) * 1e3, 1
         ),
-        "accum overhead (grads_only - 8*micro_grad)": round(
+        f"accum overhead (grads_only - {args.accum}*micro_grad)": round(
             (results["grads_only"] - args.accum * results["micro_grad"])
             * 1e3, 1
         ),
