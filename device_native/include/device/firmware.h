@@ -52,7 +52,9 @@ class Board {
   // (0 if the board is not converting).
   int64_t pump(int64_t n_samples);
 
-  // Pop up to n queued samples into out (48, n) row-major microvolts.
+  // Pop up to n_samples queued samples into out, which must have capacity
+  // (48, n_samples) row-major; rows stay n_samples floats apart even when
+  // fewer samples are returned. Returns the samples written per channel.
   int64_t drain(float* out, int64_t n_samples);
 
   int64_t queued() const {

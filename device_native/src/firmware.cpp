@@ -101,14 +101,18 @@ void Board::feed(const float* ch_major, int64_t n_samples) {
 }
 
 int64_t Board::pump(int64_t n_samples) {
-  uint8_t frame[kFrameBytes];
+  // Stage the whole tick before committing: if any AFE fails mid-tick
+  // (e.g. one chip in STANDBY), no channel may be left one sample ahead
+  // of the others — drain() relies on rectangular queues.
+  uint8_t frames[kNumAfes][kFrameBytes];
   int64_t produced = 0;
   for (int64_t i = 0; i < n_samples; ++i) {
+    for (int a = 0; a < kNumAfes; ++a)
+      if (!afes_[a].read_frame(frames[a])) return produced;
     for (int a = 0; a < kNumAfes; ++a) {
-      if (!afes_[a].read_frame(frame)) return produced;
       int gain = afes_[a].gain(0);
       for (int ch = 0; ch < kChannelsPerChip; ++ch) {
-        int32_t code = unpack24(frame + 3 + 3 * ch);
+        int32_t code = unpack24(frames[a] + 3 + 3 * ch);
         queue_[a * kChannelsPerChip + ch].push_back(
             float(code_to_microvolts(code, gain)));
       }
@@ -119,10 +123,13 @@ int64_t Board::pump(int64_t n_samples) {
 }
 
 int64_t Board::drain(float* out, int64_t n_samples) {
+  // out rows are n_samples apart (the CALLER'S buffer capacity), so a
+  // short drain leaves each row's tail untouched instead of packing a
+  // dense (48, n) block the caller would misinterpret.
   int64_t n = std::min<int64_t>(n_samples, queued());
   for (int c = 0; c < kNumChannels; ++c) {
     for (int64_t i = 0; i < n; ++i) {
-      out[c * n + i] = queue_[c].front();
+      out[c * n_samples + i] = queue_[c].front();
       queue_[c].pop_front();
     }
   }

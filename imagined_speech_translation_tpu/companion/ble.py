@@ -110,11 +110,13 @@ class BleLink:
 
     # ------------------------------------------------------------------
     async def scan_devices(self, timeout: float = SCAN_SECONDS) -> bool:
-        """Scan and connect to the device whose id matches ``ble_id``."""
+        """Scan and connect to the device whose id matches ``ble_id``;
+        True only if the connection actually came up (a found-but-failed
+        connect must count as a miss so ``pair`` keeps retrying)."""
         for device_id, device in await self.transport.scan(timeout):
             if device_id == self.ble_id:
                 await self.connect_device(device)
-                return True
+                return self.connected
         return False
 
     async def connect_device(self, device: object) -> None:

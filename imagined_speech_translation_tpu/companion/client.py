@@ -116,11 +116,15 @@ class CompanionClient:
 
         first = await self.request("first_time", (email,) if email else ())
         if isinstance(first, dict) and first.get("first_time"):
+            # mark the account only once the personalization corpus has
+            # actually been uploaded — signing in without documents must
+            # NOT forfeit the one-shot first-login upload
+            # (sign_in.dart:150-189 runs the crawl before notFirstTime)
             if documents is not None:
                 await self.upload_personalization(documents)
+                await self.request("not_first_time")
         self.prefs.set("logged", True)
         self.prefs.set("first_time", False)
-        await self.request("not_first_time")
         return key
 
     async def upload_personalization(self, documents: Iterable[str]) -> int:

@@ -110,6 +110,12 @@ def download_file(
         if offset > expected_size:
             part.unlink()  # corrupt leftover, restart clean
             offset = 0
+        elif offset == expected_size:
+            # interrupted between the final write and the rename: the
+            # .part is already complete — a Range request from EOF would
+            # 416 forever, so just finish the rename
+            part.rename(dest)
+            return
         try:
             status, chunks = stream(url, offset)
             if status == 200 and offset > 0:

@@ -19,6 +19,7 @@ Two verifiers share that ``token -> user id or None`` contract:
 
 from __future__ import annotations
 
+import asyncio
 import base64
 import hashlib
 import hmac
@@ -168,9 +169,16 @@ class JwksVerifier:
         *,
         issuer: str | tuple[str, ...] | None = None,
         audience: str | None = None,
+        refresh_min_interval: float = 60.0,
     ):
         self._jwks = jwks
         self._cache: dict[str, tuple[int, int]] | None = None
+        # time of the last rotation refetch that STILL missed the kid —
+        # an unauthenticated client spraying bogus kids must not turn into
+        # one upstream HTTPS fetch per bad token (remote stall /
+        # amplification); successful rotations are never throttled
+        self._last_miss = float("-inf")
+        self.refresh_min_interval = refresh_min_interval
         self.issuer = (issuer,) if isinstance(issuer, str) else issuer
         self.audience = audience
 
@@ -204,7 +212,17 @@ class JwksVerifier:
             return None
         keys = self._keys()
         if kid not in keys and callable(self._jwks):
-            keys = self._keys(refresh=True)  # rotated key set
+            # rotated key set — but back off after a refetch that still
+            # missed, so bogus-kid spray costs at most one upstream fetch
+            # per refresh_min_interval (a real rotation retried after the
+            # window verifies normally)
+            if (
+                time.monotonic() - self._last_miss
+                >= self.refresh_min_interval
+            ):
+                keys = self._keys(refresh=True)
+                if kid not in keys:
+                    self._last_miss = time.monotonic()
         if kid not in keys:
             return None
         n, e = keys[kid]
@@ -271,7 +289,10 @@ def make_token_authenticator(
 
     async def authenticate(token: str) -> str | None:
         if verifier is not None:
-            claims = verifier.verify(token)
+            # verify() may fetch/rotate JWKS over HTTPS (and does RSA math);
+            # keep the event loop free — a cold cache or slow upstream must
+            # not stall every other websocket session
+            claims = await asyncio.to_thread(verifier.verify, token)
         else:
             claims = verify_token(token, secret, audience=audience)
         if claims is None:

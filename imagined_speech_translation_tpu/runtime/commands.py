@@ -33,8 +33,11 @@ def build_command_registry(
     # -- onboarding / profile -------------------------------------------
     @reg.command("first_time")
     async def first_time(session, args):
+        # pure READ (reference: session.js:15-18 queries first_time without
+        # writing); only not_first_time flips the flag (session.js:77-79) —
+        # writing here would forfeit the one-shot personalization upload
+        # for clients that sign in before their corpus is ready
         seen = await store.get(skey(session, "seen"))
-        await store.set(skey(session, "seen"), True)
         return {"first_time": not bool(seen)}
 
     @reg.command("not_first_time")

@@ -41,6 +41,19 @@ from .train_step import make_eval_step, make_train_step
 logger = logging.getLogger(__name__)
 
 
+def _dict_diff(a: dict, b: dict, prefix: str = "") -> list[str]:
+    """Leaf-level ``key: old -> new`` lines for two nested config dicts."""
+    out: list[str] = []
+    for k in sorted(set(a) | set(b)):
+        pa, pb = a.get(k), b.get(k)
+        path = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(pa, dict) and isinstance(pb, dict):
+            out.extend(_dict_diff(pa, pb, path))
+        elif pa != pb:
+            out.append(f"{path}: {pa!r} -> {pb!r}")
+    return out
+
+
 class EEGTrainer:
     def __init__(
         self,
@@ -111,6 +124,9 @@ class EEGTrainer:
         self.start_window = 0
         self._windows_done = 0
         self._current_epoch = 0
+        # latest post-step state: the donated train step deletes its INPUT
+        # buffers, so an interrupt handler must never touch a stale binding
+        self._live_state: TrainState | None = None
 
         self._train_step = None
         self._eval_step = None
@@ -231,6 +247,7 @@ class EEGTrainer:
                 )
                 batch["channel_mask"] = cm
             state, metrics = self._train_step(state, batch, step_rng)
+            self._live_state = state
             self._windows_done = step + 1
             if step % max(tc.log_every_steps, 1) == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -359,6 +376,23 @@ class EEGTrainer:
         if name is None or not self.ckpt.exists(name):
             return state
         state, meta = self.ckpt.restore(name, state)
+        # guard against silent semantic drift: some config changes (e.g.
+        # attention HEAD COUNTS — the r3 default moved (8,4,4)→(6,6,6))
+        # keep every parameter shape identical, so a checkpoint restores
+        # cleanly but computes a different function. Surface any model-
+        # section difference loudly instead of mis-evaluating it.
+        saved_model = (meta.get("config") or {}).get("model")
+        if saved_model is not None:
+            current_model = self.cfg.to_dict().get("model")
+            if saved_model != current_model:
+                diffs = _dict_diff(saved_model, current_model, prefix="model")
+                logger.warning(
+                    "checkpoint '%s' was trained under a DIFFERENT model "
+                    "config — restored weights may compute a different "
+                    "function: %s",
+                    name,
+                    "; ".join(diffs[:8]) or "(nested difference)",
+                )
         window = int(meta.get("window", 0))
         if window > 0:
             # mid-epoch checkpoint: replay the rest of that epoch
@@ -449,8 +483,22 @@ class EEGTrainer:
                 if (epoch + 1) % tc.checkpoint.save_interval_epochs == 0:
                     self.ckpt.save_epoch(state, epoch, self._meta(epoch, {}))
         except KeyboardInterrupt:
+            # ``state`` here is an epoch-start binding whose buffers the
+            # donated step already consumed; snapshot the latest LIVE state
+            live = self._live_state if self._live_state is not None else state
+            leaves = jax.tree_util.tree_leaves(live)
+            if any(
+                getattr(leaf, "is_deleted", lambda: False)() for leaf in leaves
+            ):
+                # interrupt landed inside a step dispatch: the input was
+                # donated and the output never materialized — nothing
+                # consistent exists to snapshot
+                logger.warning(
+                    "Interrupted mid-step; no live state to checkpoint"
+                )
+                raise
             self.ckpt.save_interrupted(
-                state,
+                live,
                 self._meta(self._current_epoch, {}, window=self._windows_done),
             )
             logger.info("Interrupted — checkpoint saved")

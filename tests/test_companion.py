@@ -402,3 +402,58 @@ def test_unknown_command_is_companion_error():
     run(client.sign_in("tok"))
     with pytest.raises(CompanionError):
         run(client.request("no_such_command"))
+
+
+def test_sign_in_without_documents_keeps_first_login_pending():
+    """Signing in with no personalization corpus must NOT mark the account
+    not_first_time — the one-shot upload stays available for a later
+    sign-in that does carry documents (sign_in.dart:150-189 order)."""
+    client, bundle = make_client()
+    run(client.sign_in("tok-pending", email="p@x.y"))  # no documents
+    assert run(bundle.store.get("profile:tok-pending")) in (None, [], "")
+
+    client2 = CompanionClient(client.transport, Preferences())
+    run(client2.sign_in("tok-pending", email="p@x.y", documents=["memo"]))
+    # the corpus finally uploaded on the documents-bearing login
+    assert run(bundle.store.get("profile:tok-pending"))
+
+    client3 = CompanionClient(client.transport, Preferences())
+    run(client3.sign_in("tok-pending", email="p@x.y", documents=["other"]))
+    # ...and only that once
+    profile = run(bundle.store.get("profile:tok-pending"))
+    assert "other" not in str(profile)
+
+
+def test_pair_retries_when_connect_fails():
+    """A device found but failing to connect counts as a miss: pair()
+    retries and succeeds once the transport recovers, never returning a
+    dead link."""
+    from imagined_speech_translation_tpu.companion.ble import pair
+
+    ble = InMemoryBle(devices={"AA:BB": object()})
+    fails = [2]  # first two connect attempts explode
+    orig_connect = ble.connect
+
+    async def flaky_connect(device):
+        if fails[0] > 0:
+            fails[0] -= 1
+            raise OSError("gatt error")
+        await orig_connect(device)
+
+    ble.connect = flaky_connect
+    link = run(
+        pair(ble, ble_id="AA:BB", auth_key="k", prefs=Preferences(), retries=3)
+    )
+    assert link is not None and link.connected
+
+    ble2 = InMemoryBle(devices={"AA:BB": object()})
+
+    async def always_fail(device):
+        raise OSError("gatt error")
+
+    ble2.connect = always_fail
+    assert (
+        run(pair(ble2, ble_id="AA:BB", auth_key="k", prefs=Preferences(),
+                 retries=2))
+        is None
+    )

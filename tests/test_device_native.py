@@ -135,3 +135,20 @@ def test_firmware_frames_drive_the_real_server():
         assert all(s[1] == 48 and s[2] == 64 for s in seen_windows)
 
     asyncio.run(flow())
+
+
+def test_short_drain_preserves_channel_alignment():
+    """Draining MORE than is queued must return each channel's own samples
+    (regression: the C library packed rows at the short stride while the
+    binding's buffer used the requested stride, interleaving channels)."""
+    with make_board(gain=1) as b:
+        b.bring_up()
+        analog = np.tile(
+            np.arange(48, dtype=np.float32)[:, None] * 100.0, (1, 10)
+        )
+        b.feed(analog)
+        assert b.pump(10) == 10
+        out = b.drain(20)  # request twice what is queued
+        assert out.shape == (48, 10)
+        lsb = 2 * 4.5e6 / 2**24
+        np.testing.assert_allclose(out, analog, atol=lsb)

@@ -170,3 +170,21 @@ def test_download_truncated_stream_resumes_midfile(tmp_path):
     download_file("u://x", dest, len(payload), stream=stream, log=lambda *a: None)
     assert calls == [0, 4]  # second attempt resumed at the break
     assert dest.read_bytes() == payload
+
+
+def test_download_completes_full_part_without_refetch(tmp_path):
+    """A .part already holding all bytes (killed between final write and
+    rename) finishes with a rename — no Range-from-EOF request that the
+    server would answer 416 forever."""
+    from imagined_speech_translation_tpu.data.fetch import download_file
+
+    payload = b"0123456789abcdef"
+    dest = tmp_path / "done.pkl"
+    (tmp_path / "done.pkl.part").write_bytes(payload)
+
+    def stream(url, offset):  # any network touch is the bug
+        raise AssertionError("server must not be contacted")
+
+    download_file("u://x", dest, len(payload), stream=stream, log=lambda *a: None)
+    assert dest.read_bytes() == payload
+    assert not (tmp_path / "done.pkl.part").exists()

@@ -46,8 +46,13 @@ def test_onboarding_flow(registry):
         key = await _auth(registry)
         first = await registry.dispatch(TextFrame("first_time", key))
         assert first == {"first_time": True}
+        # first_time is a pure READ (reference session.js:15-18): it stays
+        # true until the client explicitly marks not_first_time
         again = await registry.dispatch(TextFrame("first_time", key))
-        assert again == {"first_time": False}
+        assert again == {"first_time": True}
+        await registry.dispatch(TextFrame("not_first_time", key))
+        done = await registry.dispatch(TextFrame("first_time", key))
+        assert done == {"first_time": False}
         ble = await registry.dispatch(TextFrame("ble_id", key, ("AA:BB",)))
         assert ble["ble_id"] == "AA:BB"
         assert (await registry.dispatch(TextFrame("ble_id", key)))["ble_id"] == "AA:BB"
@@ -489,3 +494,30 @@ def test_wifi_qr_roundtrip():
         parse_wifi_qr("HTTP://not-wifi")
     with pytest.raises(ValueError):
         wifi_qr_payload("x", "y", security="WPA3")
+
+
+def test_jwks_bogus_kid_spray_is_throttled():
+    """Unknown-kid tokens trigger at most one JWKS refetch per backoff
+    window; a real rotation after the window still verifies."""
+    import time as _time
+
+    from imagined_speech_translation_tpu.runtime import JwksVerifier
+
+    key, n, e = _rsa_test_keypair()
+    calls = []
+    current = {"keys": []}
+
+    def fetch():
+        calls.append(1)
+        return current
+
+    v = JwksVerifier(fetch, refresh_min_interval=60.0)
+    claims = {"email": "a@b.c", "exp": _time.time() + 60}
+    for i in range(25):  # spray 25 bogus kids
+        assert v.verify(_rs256_sign(key, claims, kid=f"bogus-{i}")) is None
+    # initial lazy load + ONE throttled refetch, not 25
+    assert len(calls) == 2
+    # rotation lands; backoff window passes -> refetch resolves the new kid
+    current = {"keys": [_jwk(n, e, "kid-rot")]}
+    v._last_miss = _time.monotonic() - 61.0
+    assert v.verify(_rs256_sign(key, claims, kid="kid-rot"))["email"] == "a@b.c"

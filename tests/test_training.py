@@ -259,3 +259,34 @@ def test_bf16_grad_accum_close_to_f32(setup, tmp_path):
     # gradient norms agree to bf16 accumulation precision
     g32, g16 = float(m32["grad_norm"]), float(m16["grad_norm"])
     assert abs(g32 - g16) / max(g32, 1e-6) < 0.05
+
+
+def test_interrupt_checkpoint_saves_live_state(tmp_path):
+    """KeyboardInterrupt mid-training snapshots the LIVE post-step state —
+    not the epoch-start binding whose buffers the donated train step has
+    already consumed (regression: donate_argnums made save_interrupted
+    touch deleted arrays)."""
+    tok = tiny_tokenizer()
+    cfg = tiny_config(tok.vocab_size)
+    ds = build_dataset(tmp_path, tok, cfg, n_files=2, samples_per_file=6)
+    bow = get_top_k_vocab_indices(tok, cfg.training.loss.bow_vocab_size)
+    trainer = EEGTrainer(
+        cfg, ds, tok,
+        bow_indices=bow,
+        train_indices=np.arange(8),
+        val_indices=np.arange(8, 12),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    state = trainer.init_state(jax.random.key(0))
+
+    def boom(*a, **kw):
+        raise KeyboardInterrupt
+
+    trainer.evaluate = boom  # interrupt lands after the epoch's steps
+    with pytest.raises(KeyboardInterrupt):
+        trainer.train(state)
+    # the interrupt snapshot exists and restores onto a fresh state
+    assert trainer.ckpt.exists("interrupted_checkpoint")
+    fresh = trainer.init_state(jax.random.key(1))
+    r_state, meta = trainer.ckpt.restore("interrupted_checkpoint", fresh)
+    assert int(np.asarray(jax.device_get(r_state.step))) > 0

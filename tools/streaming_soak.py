@@ -224,8 +224,11 @@ async def soak(
     async def session_loop(s_idx: int):
         """One device connection streaming for the whole soak."""
         s_rng = np.random.default_rng(s_idx)
+        # loopback soak: keepalive pings off — a long decode compile or a
+        # co-tenant hogging the core must not read as a dead peer
         async with websockets.connect(
-            f"ws://127.0.0.1:{port}", max_size=None
+            f"ws://127.0.0.1:{port}", max_size=None,
+            ping_interval=None, ping_timeout=None,
         ) as ws:
             await ws.send(f"authentication¬soak-token-{s_idx}")
             reply = await ws.recv()
@@ -284,7 +287,9 @@ async def soak(
     async def run_clients():
         await asyncio.gather(*(session_loop(i) for i in range(sessions)))
 
-    async with websockets.serve(handler, "127.0.0.1", port):
+    async with websockets.serve(
+        handler, "127.0.0.1", port, ping_interval=None
+    ):
         if scheduler is not None:
             async with scheduler:
                 await run_clients()
