@@ -262,6 +262,9 @@ class OptimizerConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
     max_grad_norm: float = 1.0
+    # single-tree-pass clip+AdamW (fused_optimizer.py); numerics match the
+    # optax chain exactly (tested) — opt-in until measured faster on-chip
+    fused: bool = False
 
 
 @_frozen()

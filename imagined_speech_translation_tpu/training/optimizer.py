@@ -55,6 +55,18 @@ def group_lrs(cfg: OptimizerConfig) -> dict[str, float]:
 def build_optimizer(
     params, cfg: OptimizerConfig, total_steps: int
 ) -> optax.GradientTransformation:
+    if cfg.fused:
+        from .fused_optimizer import build_fused_adamw
+
+        return build_fused_adamw(
+            params,
+            cfg,
+            total_steps,
+            rules=GROUP_RULES,
+            default_group="projection",
+            make_schedule=make_schedule,
+            group_lrs=group_lrs,
+        )
     labels = label_params_by_substring(params, GROUP_RULES, default="projection")
     transforms = {
         name: optax.adamw(

@@ -290,3 +290,89 @@ def test_interrupt_checkpoint_saves_live_state(tmp_path):
     fresh = trainer.init_state(jax.random.key(1))
     r_state, meta = trainer.ckpt.restore("interrupted_checkpoint", fresh)
     assert int(np.asarray(jax.device_get(r_state.step))) > 0
+
+
+def test_fused_optimizer_matches_optax():
+    """fused_optimizer.py single-pass AdamW is numerically identical to the
+    optax chain(clip_by_global_norm, multi_transform(adamw×3)) it replaces,
+    across warmup AND clipping regimes."""
+    import dataclasses
+
+    from imagined_speech_translation_tpu.config import OptimizerConfig
+
+    cfg = OptimizerConfig(warmup_steps=3)
+    params = {
+        "brain_encoder": {"w": jnp.linspace(-1, 1, 12).reshape(3, 4)},
+        "eeg_to_bart": {"k": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) / 7},
+        "bart": {"emb": jnp.ones((4, 2)) * 0.3},
+        "loss_heads": {"b": jnp.zeros((5,))},  # falls into projection group
+    }
+    ref_opt = build_optimizer(params, cfg, total_steps=12)
+    fused_opt = build_optimizer(
+        params, dataclasses.replace(cfg, fused=True), total_steps=12
+    )
+    ref_state, fused_state = ref_opt.init(params), fused_opt.init(params)
+    p_ref = p_fused = params
+    key = jax.random.key(7)
+    for step in range(6):
+        key, sub = jax.random.split(key)
+        # big grads on even steps so the global-norm clip actually triggers
+        scale = 40.0 if step % 2 == 0 else 0.05
+        grads = jax.tree.map(
+            lambda p: scale * jax.random.normal(sub, p.shape), p_ref
+        )
+        u_ref, ref_state = ref_opt.update(grads, ref_state, p_ref)
+        u_fused, fused_state = fused_opt.update(grads, fused_state, p_fused)
+        p_ref = optax_apply(p_ref, u_ref)
+        p_fused = optax_apply(p_fused, u_fused)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-7),
+            p_ref,
+            p_fused,
+        )
+
+
+def optax_apply(params, updates):
+    import optax
+
+    return optax.apply_updates(params, updates)
+
+
+def test_fused_optimizer_in_train_step(setup):
+    """The fused optimizer drops into the real jitted accumulation window and
+    reproduces the stock optax trajectory step-for-step."""
+    import dataclasses
+
+    tok, cfg, ds, bow, module, optimizer, state = setup
+    cfg_f = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training,
+            optimizer=dataclasses.replace(cfg.training.optimizer, fused=True),
+        )
+    )
+    fused_opt = build_optimizer(
+        jax.eval_shape(lambda: state.params), cfg_f.training.optimizer,
+        total_steps=10,
+    )
+    from imagined_speech_translation_tpu.training.losses import (
+        AdaptiveLossScheduler,
+    )
+
+    weights = AdaptiveLossScheduler(cfg.training.loss).initial_weights()
+    sample = ds.get_batch(np.arange(cfg.training.batch_size))
+    state_f = create_train_state(
+        module, jax.random.key(0), sample, fused_opt, weights
+    )
+    batch = _window_batch(ds, cfg)
+    step_ref = jax.jit(make_train_step(module, optimizer, cfg, bow))
+    step_fused = jax.jit(make_train_step(module, fused_opt, cfg_f, bow))
+    s_ref, s_fused = state, state_f
+    for i in range(2):
+        s_ref, m_ref = step_ref(s_ref, batch, jax.random.key(i))
+        s_fused, m_fused = step_fused(s_fused, batch, jax.random.key(i))
+        assert abs(float(m_ref["loss"]) - float(m_fused["loss"])) < 1e-5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6),
+        s_ref.params,
+        s_fused.params,
+    )

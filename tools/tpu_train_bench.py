@@ -33,6 +33,11 @@ def main():
         default=None,
         help="grad accumulation carry dtype under bf16 (float32/bfloat16)",
     )
+    ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="single-pass fused clip+AdamW (fused_optimizer.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -61,6 +66,8 @@ def main():
             cfg = replace_nested(
                 cfg, "training.grad_accum_dtype", args.accum_dtype
             )
+        if args.fused:
+            cfg = replace_nested(cfg, "training.optimizer.fused", True)
         T = cfg.data.n_timepoints
         B = args.micro
 
