@@ -376,3 +376,35 @@ def test_fused_optimizer_in_train_step(setup):
         s_ref.params,
         s_fused.params,
     )
+
+
+def test_fused_optimizer_checkpoint_roundtrip(setup, tmp_path):
+    """FusedAdamWState (NamedTuple of moment trees) survives the orbax
+    save/restore path — required before fused can ever become the default."""
+    import dataclasses
+
+    tok, cfg, ds, bow, module, optimizer, state = setup
+    opt_cfg = dataclasses.replace(cfg.training.optimizer, fused=True)
+    fused_opt = build_optimizer(
+        jax.eval_shape(lambda: state.params), opt_cfg, total_steps=10
+    )
+    from imagined_speech_translation_tpu.training.losses import (
+        AdaptiveLossScheduler,
+    )
+
+    weights = AdaptiveLossScheduler(cfg.training.loss).initial_weights()
+    sample = ds.get_batch(np.arange(cfg.training.batch_size))
+    st = create_train_state(module, jax.random.key(0), sample, fused_opt, weights)
+    # make the moments non-trivial so the roundtrip compares real data
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.01), st.params)
+    updates, opt_state = fused_opt.update(grads, st.opt_state, st.params)
+    st = st.replace(opt_state=opt_state, step=st.step + 1)
+    mgr = CheckpointManager(tmp_path / "ckpt", max_epoch_keep=1)
+    mgr.save_best(st, {"epoch": 1})
+    restored, _ = mgr.restore("best_model", jax.tree.map(jnp.zeros_like, st))
+    assert int(restored.opt_state.count) == int(st.opt_state.count) == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        st.opt_state.mu,
+        restored.opt_state.mu,
+    )
