@@ -8,6 +8,14 @@ Prints ONE JSON line:
 Baseline comparator: the reference trains/evals at 2.9 samples/s on an RTX
 3090 (1.38 s/it @ batch 4 — BASELINE.md "Train throughput"); the BASELINE.json
 north star is >10x the CPU-reference on batched window→text decode.
+
+Chip-claim resilience: the TPU behind the axon tunnel is claim-based and can
+be UNAVAILABLE for long stretches.  The measurement runs in a subprocess; on
+backend-init UNAVAILABLE the parent retries within ``BENCH_CLAIM_BUDGET_S``
+(default 3600 s) and, if the claim never lands, prints a structured
+``{"skipped": "chip-unavailable"}`` JSON line and exits 0 — never rc=1 for a
+transiently missing chip.  Successful runs are also persisted to
+``runs/bench/bench_<utc-timestamp>.json``.
 """
 
 from __future__ import annotations
@@ -18,10 +26,18 @@ import time
 import numpy as np
 
 REFERENCE_SAMPLES_PER_SEC = 2.9
+METRIC = "eeg_windows_per_sec_per_chip"
 
 
-def main():
+def run_measurement():
+    import os
+
     import jax
+
+    # Testing hook: the axon sitecustomize overrides JAX_PLATFORMS, so forcing
+    # a platform (e.g. a CPU smoke of this path) must go through jax.config.
+    if os.environ.get("BENCH_FORCE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_FORCE_PLATFORM"])
 
     from imagined_speech_translation_tpu.utils.cache import enable_persistent_cache
 
@@ -115,15 +131,109 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "eeg_windows_per_sec_per_chip",
+                "metric": METRIC,
                 "value": round(windows_per_sec, 3),
                 "unit": "windows/s (preproc+beam3 decode, pinned len=%d, B=%d, T=%d)"
                 % (dp.max_length, B, T),
                 "vs_baseline": round(windows_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+                "platform": jax.devices()[0].platform,
             }
         )
     )
 
 
+def _is_chip_unavailable(text: str) -> bool:
+    """True when the failure is the axon claim loop giving up, not a bug."""
+    markers = (
+        "Unable to initialize backend 'axon'",
+        "UNAVAILABLE: TPU backend setup/compile error",
+        "failed to claim",
+    )
+    return any(m in text for m in markers)
+
+
+def _persist_artifact(result: dict) -> None:
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "runs", "bench")
+    try:
+        os.makedirs(d, exist_ok=True)
+        stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        with open(os.path.join(d, f"bench_{stamp}.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass  # artifact persistence must never fail the bench
+
+
+def main():
+    """Claim-resilient driver: retry the measurement subprocess on a
+    transiently unavailable chip; emit a structured skip line otherwise."""
+    import os
+    import subprocess
+    import sys
+
+    budget_s = float(os.environ.get("BENCH_CLAIM_BUDGET_S", "3600"))
+    retry_sleep_s = float(os.environ.get("BENCH_CLAIM_RETRY_SLEEP_S", "60"))
+    deadline = time.monotonic() + budget_s
+    me = os.path.abspath(__file__)
+    attempts = 0
+    t_start = time.monotonic()
+
+    def _skip(reason: str) -> int:
+        print(
+            json.dumps(
+                {
+                    "metric": METRIC,
+                    "value": None,
+                    "unit": "windows/s",
+                    "vs_baseline": None,
+                    "skipped": reason,
+                    "claim_attempts": attempts,
+                    "waited_s": round(time.monotonic() - t_start, 1),
+                }
+            )
+        )
+        return 0
+
+    while True:
+        attempts += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", me, "--inner"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(me),
+                timeout=max(120.0, deadline - time.monotonic()),
+            )
+        except subprocess.TimeoutExpired:
+            return _skip("chip-unavailable")
+        if proc.returncode == 0:
+            # Re-emit the inner run's final JSON line as ours.
+            lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+            result = json.loads(lines[-1])
+            result["claim_attempts"] = attempts
+            if not os.environ.get("BENCH_FORCE_PLATFORM"):
+                _persist_artifact(result)
+            print(json.dumps(result))
+            return 0
+        blob = proc.stdout + proc.stderr
+        if not _is_chip_unavailable(blob):
+            sys.stderr.write(blob[-4000:])
+            return proc.returncode or 1
+        waited = time.monotonic() - t_start
+        sys.stderr.write(
+            "bench: chip claim unavailable (attempt %d, %.0fs elapsed of %.0fs budget)\n"
+            % (attempts, waited, budget_s)
+        )
+        if time.monotonic() + retry_sleep_s >= deadline:
+            return _skip("chip-unavailable")
+        time.sleep(retry_sleep_s)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--inner" in _sys.argv:
+        run_measurement()
+    else:
+        _sys.exit(main())
