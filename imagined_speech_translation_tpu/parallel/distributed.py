@@ -84,3 +84,24 @@ def sync_hosts(name: str = "ist_barrier") -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+
+
+def host_barrier(name: str = "ist_host_barrier", timeout_s: float = 600.0) -> None:
+    """Coordination-service barrier: pure RPC, no device collective.
+
+    Unlike :func:`sync_hosts` (which executes an XLA collective and therefore
+    requires the communicator rendezvous to already be survivable), this rides
+    the jax.distributed coordination client directly with an explicit timeout.
+    Use it to line processes up BEFORE the first collective executes — e.g.
+    after AOT-compiling a sharded program — so that slow, skewed compiles on
+    oversubscribed hosts don't blow the Gloo/NCCL key-value rendezvous
+    deadline (observed: Gloo ``GetKeyValue() timed out (30s)`` when two
+    single-core processes compile a big program at different rates).
+
+    No-op when the coordination client isn't up (single-process).
+    """
+    from jax._src import distributed as _jdist
+
+    client = _jdist.global_state.client
+    if client is not None and jax.process_count() > 1:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))

@@ -21,7 +21,7 @@ def test_two_process_cluster_proof(tmp_path):
     proc = subprocess.run(
         [sys.executable, str(REPO / "tools" / "multiproc_proof.py"),
          "--out", str(tmp_path)],
-        cwd=REPO, capture_output=True, text=True, timeout=900,
+        cwd=REPO, capture_output=True, text=True, timeout=2400,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     result = json.loads((tmp_path / "result.json").read_text())

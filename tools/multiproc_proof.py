@@ -209,6 +209,18 @@ def _run_step(mesh, *, multiprocess: bool):
     step = jax.jit(
         lambda s, b: train_step(s, b, jax.random.key(1, impl="threefry2x32"))
     )
+    if multiprocess:
+        # AOT compile, then line both processes up on a coordination-service
+        # barrier BEFORE the first execution: on an oversubscribed single-core
+        # host the two compiles finish minutes apart, and the early process
+        # would otherwise sit in the Gloo communicator rendezvous past its
+        # hard 30 s GetKeyValue deadline waiting for the late one.
+        from imagined_speech_translation_tpu.parallel.distributed import (
+            host_barrier,
+        )
+
+        step = step.lower(state, batch).compile()
+        host_barrier("step_compiled", timeout_s=1800.0)
     new_state, metrics = step(state, batch)
     jax.block_until_ready(new_state.params)
     loss = float(np.asarray(jax.device_get(metrics["loss"])))
@@ -262,9 +274,9 @@ def run_worker(out_dir: Path) -> None:
 
     from imagined_speech_translation_tpu.parallel import make_mesh
     from imagined_speech_translation_tpu.parallel.distributed import (
+        host_barrier,
         initialize_distributed,
         is_primary,
-        sync_hosts,
     )
     from imagined_speech_translation_tpu.training.checkpoint import (
         CheckpointManager,
@@ -297,7 +309,7 @@ def run_worker(out_dir: Path) -> None:
     roundtrip_ok = _local_tree_equal(new_state.params, restored.params)
     assert meta["epoch"] == 0
 
-    sync_hosts("proof_done")
+    host_barrier("proof_done", timeout_s=1800.0)
     if is_primary():
         (out_dir / "worker_result.json").write_text(json.dumps({
             "loss": loss,
@@ -311,7 +323,7 @@ def run_worker(out_dir: Path) -> None:
             "checkpoint_roundtrip_ok": bool(roundtrip_ok),
             "step": int(jax.device_get(new_state.step)),
         }))
-    sync_hosts("proof_written")
+    host_barrier("proof_written", timeout_s=1800.0)
 
 
 def run_single(out_dir: Path) -> None:
@@ -331,7 +343,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def orchestrate(out_dir: Path, *, timeout: float = 900.0) -> dict:
+def orchestrate(out_dir: Path, *, timeout: float = 2100.0) -> dict:
     out_dir.mkdir(parents=True, exist_ok=True)
     base_env = {
         k: v for k, v in os.environ.items()
