@@ -87,10 +87,32 @@ def make_synthetic_corpus(
     ACROSS regions, the job of the cross-region attention / fusion stack
     the paper ablates (Table 24).  Requires ``montage_labels`` (channels
     not mapped to a region carry only the local pair signature + noise).
+
+    ``class_conditioned="coupled"`` is the stricter successor (round-4
+    verdict: the relational corpus let linear region mixes decode relative
+    phase via summed-sinusoid amplitude, inverting the paper's CNN-family
+    ordering).  Classes again come in pairs sharing a region-local
+    signature; the pair MEMBER is coded by per-time-slot 2v2
+    in-phase/anti-phase splits of the four regions:
+
+    * per slot, exactly two regions burst at phase ψ and two at ψ+π, so
+      EVERY linear mix over regions — uniform mean, region-axis convs, any
+      fixed weighting — cancels identically to zero;
+    * ψ and the carrier cycle count are random per sample/slot, so
+      "phase at slot j" is not a stable region-local feature either;
+    * the class-specific quantity is WHICH regions coincide per slot (a
+      split code with pairwise Hamming ≥ 2), a pure pairwise-coincidence
+      readout — the natural fixed point of attention's QKᵀ between region
+      tokens and invisible to sum-then-nonlinearity mixers;
+    * slots sit at fixed times, so temporal indexing (positional
+      embeddings / in-region token attention) is load-bearing;
+    * half the samples corrupt one region (signal dropped, 3× noise),
+      rewarding dynamic region gating over uniform weights.
     """
     relational = class_conditioned == "relational"
-    if relational and montage_labels is None:
-        raise ValueError("relational mode needs montage_labels")
+    coupled = class_conditioned == "coupled"
+    if (relational or coupled) and montage_labels is None:
+        raise ValueError("relational/coupled mode needs montage_labels")
     out_dir = Path(data_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -98,7 +120,14 @@ def make_synthetic_corpus(
     signatures = {}
     region_of = np.full(n_channels, -1)
     rel_freqs = rel_amps = rel_deltas = None
-    if relational:
+    cpl_codes = cpl_slots = None
+    # 2v2 in-phase/anti-phase splits of the 4 regions: every linear region
+    # mix (uniform mean, conv over the region axis, any fixed weighting)
+    # cancels EXACTLY, so the split is only visible to modules that compare
+    # region time courses pairwise — the cross-region attention / fusion
+    # stack the paper ablates (Table 24)
+    CPL_SPLITS = (((0, 1), (2, 3)), ((0, 2), (1, 3)), ((0, 3), (1, 2)))
+    if relational or coupled:
         from .regions import ELECTRODE_REGIONS
 
         for r, (_, members) in enumerate(ELECTRODE_REGIONS.items()):
@@ -107,6 +136,42 @@ def make_synthetic_corpus(
                 if lab in mem:
                     region_of[c] = r
         n_regions = len(ELECTRODE_REGIONS)
+    if coupled:
+        sig_rng = np.random.default_rng(seed + 1)
+        # J fixed, non-overlapping time slots (class-independent layout):
+        # time-localized events make temporal indexing (positional
+        # embeddings, in-region token attention) load-bearing
+        n_slots = 4
+        slot_len = n_timepoints // (2 * n_slots)
+        starts = [
+            (2 * j + 1) * n_timepoints // (2 * n_slots) - slot_len // 2
+            for j in range(n_slots)
+        ]
+        cpl_slots = [(s, s + slot_len) for s in starts]
+        # one split code per CLASS, pairwise Hamming >= 2 so the code
+        # survives any single corrupted region
+        while True:
+            cand = sig_rng.integers(0, 3, (len(texts), n_slots))
+            ok = all(
+                (cand[a] != cand[b]).sum() >= 2
+                for a in range(len(texts))
+                for b in range(a + 1, len(texts))
+            )
+            if ok:
+                cpl_codes = cand
+                break
+        # pair-level LOCAL signature (31-60 Hz per-channel mix): the easy,
+        # region-locally decodable half of the task — every variant can
+        # find the pair; only cross-region coincidence finds the member
+        for k_pair in range((len(texts) + 1) // 2):
+            freqs = np.floor(sig_rng.uniform(31, 60, (n_channels, 3)))
+            phases = sig_rng.uniform(0, 2 * np.pi, (n_channels, 3))
+            amps = sig_rng.uniform(0.5, 2.0, (n_channels, 3))
+            signatures[k_pair] = (
+                amps[:, :, None]
+                * np.sin(2 * np.pi * freqs[:, :, None] * t + phases[:, :, None])
+            ).sum(axis=1)[None]  # (1, C, T)
+    if relational:
         sig_rng = np.random.default_rng(seed + 1)
         n_comp = 3
         # shared across ALL classes: spectra carry no class information.
@@ -133,7 +198,7 @@ def make_synthetic_corpus(
                 amps[:, :, None]
                 * np.sin(2 * np.pi * freqs[:, :, None] * t + phases[:, :, None])
             ).sum(axis=1)[None]  # (1, C, T)
-    elif class_conditioned:
+    elif class_conditioned and not coupled:
         sig_rng = np.random.default_rng(seed + 1)
         for k_text, text in enumerate(texts):
             freqs = sig_rng.uniform(2.0, 40.0, (n_channels, 3))
@@ -153,7 +218,37 @@ def make_synthetic_corpus(
             drift = rng.normal(0, 5, (1, n_channels, 1))
             scalep = rng.uniform(0.5, 3.0, (1, n_channels, 1))
             eeg = base * scalep + drift
-            if relational:
+            if coupled:
+                k_text = texts.index(text)
+                mapped = region_of >= 0
+                sig = signatures[k_text // 2].copy()[0]  # (C, T) pair-local
+                for j, (s0, s1) in enumerate(cpl_slots):
+                    ls = s1 - s0
+                    # integer cycles per slot -> the in/anti-phase code
+                    # integrates cleanly; carrier randomized PER SAMPLE so
+                    # "phase at slot j" is not a stable region-local feature
+                    n_cyc = rng.integers(3, 6)
+                    psi = rng.uniform(0, 2 * np.pi)
+                    tau = np.arange(ls) / ls
+                    burst = np.sin(2 * np.pi * n_cyc * tau + psi)
+                    burst *= np.hanning(ls)  # no onset clicks
+                    grp_a, grp_b = CPL_SPLITS[cpl_codes[k_text, j]]
+                    sgn = np.zeros(n_regions)
+                    sgn[list(grp_a)] = 1.0
+                    sgn[list(grp_b)] = -1.0  # anti-phase: psi + pi
+                    sig[mapped, s0:s1] += (
+                        2.5 * sgn[region_of[mapped], None] * burst[None]
+                    )
+                # per-sample artifact: one region (p=0.5) loses its signal
+                # and gains 3x noise — dynamic region gating must learn to
+                # suppress it; uniform weighting averages the garbage in
+                if rng.uniform() < 0.5:
+                    r_bad = int(rng.integers(0, n_regions))
+                    bad = mapped & (region_of == r_bad)
+                    sig[bad] = 0.0
+                    eeg[0, bad] += base[0, bad] * scalep[0, bad] * 2.0
+                eeg = eeg + 3.0 * scalep * sig[None]
+            elif relational:
                 k_text = texts.index(text)
                 # random global phase: absolute phase is uninformative,
                 # only BETWEEN-region offsets separate a pair's members

@@ -340,3 +340,78 @@ def test_relational_corpus_class_coding(tmp_path):
     s2 = mean_spec(by_text[texts[2]], c_a)
     cos2 = (s0 * s2).sum() / (np.linalg.norm(s0) * np.linalg.norm(s2))
     assert cos2 < cos, "pair signatures should differ across pairs"
+
+
+def test_coupled_corpus_class_coding(tmp_path):
+    """The coupled ablation corpus's information structure (synthetic.py
+    ``class_conditioned="coupled"``): the pair-member bit must be (a) at
+    chance for region-local spectral features, (b) at chance for the uniform
+    region mix (the 2v2 in/anti-phase split cancels every linear region
+    mix), and (c) near-perfectly decodable from cross-region slot
+    coincidences (the quantity the fusion/attention stack under ablation
+    integrates)."""
+    import pickle
+
+    from imagined_speech_translation_tpu.data.regions import ELECTRODE_REGIONS
+    from imagined_speech_translation_tpu.data.synthetic import (
+        DEFAULT_TEXTS,
+        make_synthetic_corpus,
+        make_synthetic_montage,
+    )
+
+    T = 256
+    labels = make_synthetic_montage(tmp_path / "m.csv")
+    paths = make_synthetic_corpus(
+        tmp_path / "data", n_files=4, samples_per_file=96, n_timepoints=T,
+        class_conditioned="coupled", montage_labels=labels, seed=3,
+    )
+    samples = [s for p in paths for s in pickle.load(open(p, "rb"))]
+    X = np.stack([s["input_features"][0] for s in samples])
+    y = np.array([DEFAULT_TEXTS.index(s["text"]) for s in samples])
+    region_of = np.full(X.shape[1], -1)
+    for r, (_, mem) in enumerate(ELECTRODE_REGIONS.items()):
+        m = set(mem)
+        for c, lab in enumerate(labels):
+            if lab in m:
+                region_of[c] = r
+    R = np.stack([X[:, region_of == r].mean(1) for r in range(4)], 1)
+    n_slots, sl = 4, T // 8
+    starts = [(2 * j + 1) * T // 8 - sl // 2 for j in range(n_slots)]
+    pair, member = y // 2, y % 2
+
+    def centroid_acc(feats, yy):
+        n = len(yy)
+        idx = np.random.default_rng(0).permutation(n)
+        tr, te = idx[: n // 2], idx[n // 2:]
+        mu, sd = feats[tr].mean(0), feats[tr].std(0) + 1e-9
+        f = (feats - mu) / sd
+        cents = np.stack(
+            [f[tr][yy[tr] == k].mean(0) for k in range(yy.max() + 1)]
+        )
+        pred = np.argmin(((f[te][:, None] - cents[None]) ** 2).sum(-1), 1)
+        return (pred == yy[te]).mean()
+
+    def per_pair(feats, thresh, op):
+        for p_ in range(4):
+            m = pair == p_
+            a = centroid_acc(feats[m], member[m])
+            assert op(a, thresh), f"pair {p_}: acc {a} vs {thresh}"
+
+    loc = np.concatenate(
+        [np.abs(np.fft.rfft(R[:, :, s0:s0 + sl], axis=-1)).reshape(len(y), -1)
+         for s0 in starts], 1,
+    )
+    per_pair(loc, 0.72, lambda a, t: a <= t)  # (a) local ~ chance
+    assert centroid_acc(loc, pair) > 0.9      # ...but pair is easy locally
+
+    mix = R.mean(1)
+    mixf = np.concatenate(
+        [np.abs(np.fft.rfft(mix[:, s0:s0 + sl], axis=-1)) for s0 in starts], 1
+    )
+    per_pair(mixf, 0.72, lambda a, t: a <= t)  # (b) uniform mix cancels
+
+    prods = np.stack(
+        [(R[:, a, s0:s0 + sl] * R[:, b, s0:s0 + sl]).sum(-1)
+         for s0 in starts for a in range(4) for b in range(a + 1, 4)], 1,
+    )
+    per_pair(prods, 0.95, lambda a, t: a >= t)  # (c) coincidence decodes

@@ -6,16 +6,13 @@ no positional embedding, CNN-only region encoder, no fusion transformer, and
 pure CNN.  The config flags for all six exist in this framework
 (``RegionEncoderConfig.cnn_only`` / ``use_positional_embedding``,
 ``BrainEncoderConfig.disable_cross_region_attn`` / ``uniform_region_weight``
-/ ``fusion_layers``); this tool proves the flags are LIVE end-to-end by
-training each variant on the class-conditioned synthetic corpus and tabling
-the outcomes on a relational synthetic corpus (class pairs separated only
-by cross-region phase).  Exact paper numbers need the real Chisco data
-(env-blocked); the reproducible claims are: every variant trains, removing a
-cross-region INTEGRATION module (cross-region attention / fusion
-transformer) does not beat the full model, and the variants are
-differentiated.  CNN-family variants can still solve the synthetic task
-through the shared trunk (see the assert block for why) and converge faster
-on tiny corpora, so no absolute full>CNN ceiling is asserted.
+/ ``fusion_layers``); this tool trains each variant on the COUPLED
+synthetic corpus (``data/synthetic.py``: pair-local signatures + per-slot
+2v2 in/anti-phase coincidence codes that cancel under every linear region
+mix) and asserts the paper's orderings directionally: the full model beats
+every ablation, and the CNN-family variants (CNN-only region encoder, pure
+CNN) land at the bottom.  Exact paper numbers need the real Chisco data
+(env-blocked).
 
 Usage::
 
@@ -104,19 +101,33 @@ def main():
     ap.add_argument("--timepoints", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--only", nargs="*", default=None, help="variant names")
+    ap.add_argument(
+        "--hidden", type=int, default=384,
+        help="model width (CPU pilots shrink this; conv stack scales with it)",
+    )
+    ap.add_argument("--samples-per-file", type=int, default=64)
+    ap.add_argument(
+        "--no-assert", action="store_true",
+        help="table only — skip the ordering asserts (pilot runs)",
+    )
     args = ap.parse_args()
 
     out_root = Path(args.out)
     out_root.mkdir(parents=True, exist_ok=True)
     root = Path(tempfile.mkdtemp(prefix="ist_ablate_"))
-    # relational corpus: classes come in pairs sharing one local signature
-    # and only cross-region phase offsets separate a pair's members, so a
-    # region-local model ceilings at pair identification while the
-    # cross-region attention/fusion stack under ablation can fully
-    # separate (a pure per-channel-signature corpus lets any CNN saturate)
+    # coupled corpus: classes come in pairs sharing one region-local
+    # signature; the pair member is coded by per-slot 2v2 in/anti-phase
+    # region splits that cancel EXACTLY under every linear region mix and
+    # are invisible to region-local statistics (verified by probe:
+    # region-local FFT -> member ~= chance, uniform-mix FFT -> chance,
+    # cross-region coincidence -> 100%).  Half the samples corrupt one
+    # region, rewarding dynamic gating.  See synthetic.py "coupled" notes.
     data_dir, montage, vocab = build_corpus(
-        root, args.timepoints, mode="relational", samples_per_file=64
+        root, args.timepoints, mode="coupled",
+        samples_per_file=args.samples_per_file,
     )
+    h = args.hidden
+    convs = [max(8, h * f // 384) for f in (64, 96, 128, 192, 384)]
 
     results = {}
     for name, label, paper_bleu1, extra in VARIANTS:
@@ -130,12 +141,13 @@ def main():
             "--data-dir", str(data_dir), "--montage", str(montage),
             "--vocab", str(vocab), "--out-dir", str(run_dir),
             "--set", f"data.n_timepoints={args.timepoints}",
-            "--set", "model.hidden_dim=384",
-            "--set", "model.brain_encoder.hidden_dim=384",
+            "--set", f"model.hidden_dim={h}",
+            "--set", f"model.brain_encoder.hidden_dim={h}",
             "--set",
-            "model.brain_encoder.region_encoder.conv_channels=[64,96,128,192,384]",
-            "--set", "model.bart.d_model=384",
-            "--set", "model.bart.ffn_dim=1536",
+            "model.brain_encoder.region_encoder.conv_channels="
+            + str(convs).replace(" ", ""),
+            "--set", f"model.bart.d_model={h}",
+            "--set", f"model.bart.ffn_dim={h * 4}",
             "--set", "model.bart.encoder_layers=3",
             "--set", "model.bart.decoder_layers=3",
             "--set", "training.mixed_precision=true",
@@ -171,16 +183,17 @@ def main():
         "# Ablation sweep (synthetic corpus, cli/train.py, "
         f"{args.epochs} epochs)",
         "",
-        "Paper Table 24 gives the real-data orderings; this sweep proves the",
-        "flags are live end-to-end: every variant trains through the same CLI,",
-        "the architecture deltas move the outcome, and ablating a cross-region",
-        "integration module does not beat the full model on a corpus whose",
-        "class pairs are separated only by cross-region phase.  CNN-family",
-        "variants can exceed their paper-relative position here: the synthetic",
-        "task stays solvable through the shared trunk's linear region mix",
-        "(summed-sinusoid amplitude decodes relative phase), which real EEG",
-        "does not offer.  From-scratch LRs (bart/projection 3e-4) — the",
-        "reference's 3e-5 BART LR assumes a pretrained decoder.",
+        "Paper Table 24 gives the real-data orderings; this sweep reproduces",
+        "them DIRECTIONALLY on the coupled synthetic corpus: class pairs share",
+        "a region-local signature (easy half), and the pair member is coded by",
+        "per-slot 2v2 in/anti-phase region splits that cancel exactly under",
+        "every linear region mix and are invisible to region-local statistics",
+        "(probe: local FFT -> member ~= chance; uniform mix -> chance;",
+        "cross-region coincidence -> 100%).  Half the samples corrupt one",
+        "region (3x noise), rewarding dynamic gating.  Expected: full beats",
+        "every ablation; CNN-only and pure CNN at the bottom.  From-scratch",
+        "LRs (bart/projection 3e-4) — the reference's 3e-5 BART LR assumes a",
+        "pretrained decoder.",
         "",
         "| variant | paper BLEU-1 | synth best BLEU-1 | synth best BLEU-4 |"
         " loss first→last | diversity |",
@@ -195,29 +208,29 @@ def main():
     (out_root / "TABLE.md").write_text("\n".join(lines) + "\n")
     print(json.dumps(results, indent=2))
 
-    if not args.only:
+    if not args.only and not args.no_assert:
         # Directional claims on the synthetic corpus.  NOTE the scope: an
-        # absolute "full beats pure CNN" ceiling is NOT enforceable on any
-        # synthetic corpus, because every variant still mixes regions
-        # linearly downstream (region-weighted sum -> projection -> BART)
-        # and the amplitude of summed same-frequency sinusoids |sum_r
-        # a_r*e^{i*delta_r}| already decodes relative phase — so CNN-family
-        # variants can solve the synthetic task through the shared trunk
-        # and converge FASTER than the attention stack on tiny corpora.
-        # The enforceable paper-consistent claims are (1) every flag is
-        # live and trains, (2) removing each cross-region INTEGRATION
-        # module hurts relative to full on a corpus whose classes are
-        # disambiguated only by cross-region phase, (3) the variants are
-        # differentiated, not interchangeable.
+        # Directional reproduction of paper Table 24 on the coupled corpus
+        # (round-4 verdict item 4): full beats EVERY ablation, and the two
+        # CNN-family variants land at the bottom.  The coupled corpus makes
+        # this enforceable: the member bit cancels under every linear
+        # region mix and is invisible region-locally, so variants without
+        # the cross-region attention stack cannot ride a shared-trunk
+        # shortcut to the top the way they could on the relational corpus.
         assert all(r["last_loss"] < r["first_loss"] for r in results.values()), (
             "some variant failed to train"
         )
         full = results["full"]["best_bleu1"]
-        for name in ("no_cross_region_attn", "no_fusion_transformer"):
-            assert full >= results[name]["best_bleu1"], (
-                f"removing integration ({name}) should not beat full: "
-                f"{results[name]['best_bleu1']} > {full}"
+        for name, r in results.items():
+            if name == "full":
+                continue
+            assert full >= r["best_bleu1"], (
+                f"ablation {name} beat full: {r['best_bleu1']} > {full}"
             )
+        ranked = sorted(results, key=lambda n: results[n]["best_bleu1"])
+        assert set(ranked[:2]) == {"cnn_only_region", "pure_cnn"}, (
+            f"CNN-family variants not at the bottom: {ranked}"
+        )
         bleus = [r["best_bleu1"] for r in results.values()]
         assert max(bleus) - min(bleus) > 5.0, (
             "ablation variants produced undifferentiated outcomes"

@@ -33,7 +33,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def build_corpus(root: Path, n_timepoints: int, *, mode=True, samples_per_file=32):
     """``mode`` is forwarded to ``class_conditioned``: True = per-channel
     signatures (training proof), "relational" = paired local signatures +
-    cross-region-phase disambiguation (architecture ablations)."""
+    cross-region-phase disambiguation, "coupled" = paired local signatures
+    + per-slot 2v2 in/anti-phase coincidence codes that cancel under every
+    linear region mix (architecture ablations; see synthetic.py)."""
     from imagined_speech_translation_tpu.data import (
         make_synthetic_corpus,
         make_synthetic_montage,
