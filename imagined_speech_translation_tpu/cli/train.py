@@ -58,6 +58,12 @@ def main(argv=None) -> float:
     ap.add_argument("--out-dir", default="runs/latest")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument(
+        "--bart-params", default=None,
+        help="orbax dir from ist-convert-hf: initialize the decoder from the"
+             " pretrained fnlp/bart-base-chinese weights (the reference's"
+             " fine-tune setup, bart_decoder.py:20)",
+    )
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -121,6 +127,10 @@ def main(argv=None) -> float:
         checkpoint_dir=str(out_dir / "checkpoints"),
     )
     state = trainer.init_state(rng_key)
+    if args.bart_params:
+        from ..training.pretrained import graft_bart_params
+
+        state = graft_bart_params(state, args.bart_params)
     if args.resume:
         state = trainer.resume(state)
 
