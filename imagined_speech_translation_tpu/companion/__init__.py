@@ -19,6 +19,13 @@ from .ble import BleLink, BleTransport, InMemoryBle
 from .client import AuthenticationError, CompanionClient, CompanionError
 from .phone import Contact, InMemoryPhone, PhoneActions
 from .prefs import Preferences
+from .recordings import (
+    GoogleDrive,
+    InMemoryDrive,
+    LocalDirDrive,
+    RecordingsBrowser,
+)
+from .settings import SettingsPanel
 from .transport import InProcessTransport, WebsocketTransport
 from .wifi import is_online
 
@@ -29,11 +36,16 @@ __all__ = [
     "CompanionClient",
     "CompanionError",
     "Contact",
+    "GoogleDrive",
     "InMemoryBle",
+    "InMemoryDrive",
     "InMemoryPhone",
     "InProcessTransport",
+    "LocalDirDrive",
     "PhoneActions",
     "Preferences",
+    "RecordingsBrowser",
+    "SettingsPanel",
     "WebsocketTransport",
     "is_online",
 ]

@@ -125,6 +125,8 @@ class CompanionClient:
                 await self.request("not_first_time")
         self.prefs.set("logged", True)
         self.prefs.set("first_time", False)
+        if email:
+            self.prefs.set("email", email)  # settings page's user-info block
         return key
 
     async def upload_personalization(self, documents: Iterable[str]) -> int:

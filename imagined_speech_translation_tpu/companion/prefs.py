@@ -50,6 +50,14 @@ class Preferences:
         self._data.pop(key, None)
         self._flush()
 
+    def get(self, key: str, default: Any = None) -> Any:
+        """Untyped read (the settings panel's generic surface)."""
+        return self._data.get(key, default)
+
+    def snapshot(self) -> dict:
+        """Copy of the full store (for display/inspection)."""
+        return dict(self._data)
+
     def _flush(self) -> None:
         if self._path is None:
             return

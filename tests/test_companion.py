@@ -457,3 +457,168 @@ def test_pair_retries_when_connect_fails():
                  retries=2))
         is None
     )
+
+
+# ---------------------------------------------------------------------------
+# recordings browser over Drive (device.dart:87-117)
+# ---------------------------------------------------------------------------
+
+
+def test_recordings_find_or_create_and_crud():
+    from imagined_speech_translation_tpu.companion import (
+        InMemoryDrive,
+        RecordingsBrowser,
+    )
+
+    drive = InMemoryDrive()
+    b = RecordingsBrowser(drive)
+
+    async def flow():
+        folder = await b.ensure_media_folder()
+        assert folder["name"] == "Gemini Sight Media"
+        # second call FINDS instead of creating (device.dart:112-115)
+        b2 = RecordingsBrowser(drive)
+        assert (await b2.ensure_media_folder())["id"] == folder["id"]
+        assert len([
+            f for f in drive.files.values()
+            if f["mimeType"].endswith("folder")
+        ]) == 1
+        url = await b.folder_url()
+        assert url == (
+            "https://drive.google.com/drive/u/2/folders/" + folder["id"]
+        )
+        # save / list (newest first) / download / delete
+        m1 = await b.save_recording("a.avi", b"AAAA")
+        m2 = await b.save_recording("b.avi", b"BB")
+        drive.files[m2["id"]]["createdTime"] = "2030-01-01T00:00:00Z"
+        names = [f["name"] for f in await b.list_recordings()]
+        assert names == ["b.avi", "a.avi"]
+        assert await drive.download(m1["id"]) == b"AAAA"
+        await b.delete(m1["id"])
+        assert [f["name"] for f in await b.list_recordings()] == ["b.avi"]
+
+    run(flow())
+
+
+def test_google_drive_wire_format():
+    """Pin the Drive v3 request shapes the real adapter emits."""
+    from imagined_speech_translation_tpu.companion import (
+        GoogleDrive,
+        RecordingsBrowser,
+    )
+
+    calls = []
+
+    async def http(method, url, headers=None, body=None):
+        calls.append((method, url, headers or {}, body))
+        if method == "GET" and "files?q=" in url:
+            return 200, json.dumps({"files": []}).encode()
+        if method == "POST":
+            return 200, json.dumps({"id": "fid1", "name": "x"}).encode()
+        if method == "DELETE":
+            return 204, b""
+        if url.endswith("alt=media"):
+            return 200, b"MEDIA"
+        return 404, b"?"
+
+    drive = GoogleDrive(http, token="tok123")
+    b = RecordingsBrowser(drive)
+
+    async def flow():
+        await b.ensure_media_folder()
+        await b.save_recording("clip.avi", b"BYTES", mime="video/avi")
+        assert await drive.download("fid9") == b"MEDIA"
+        await drive.delete("fid9")
+
+    run(flow())
+    # 1: the exact find query from device.dart:89-91, URL-encoded
+    m, url, hdrs, _ = calls[0]
+    assert m == "GET" and url.startswith(
+        "https://www.googleapis.com/drive/v3/files?q="
+    )
+    import urllib.parse
+
+    q = urllib.parse.parse_qs(urllib.parse.urlsplit(url).query)["q"][0]
+    assert q == (
+        "mimeType='application/vnd.google-apps.folder' and "
+        "name='Gemini Sight Media' and trashed=false and 'root' in parents"
+    )
+    assert hdrs["Authorization"] == "Bearer tok123"
+    # 2: folder create (metadata-only JSON POST)
+    m, url, hdrs, body = calls[1]
+    assert m == "POST" and url.endswith("/drive/v3/files")
+    assert json.loads(body)["mimeType"].endswith("folder")
+    # 3: multipart upload with parents + content
+    m, url, hdrs, body = calls[2]
+    assert url.endswith("/upload/drive/v3/files?uploadType=multipart")
+    assert b'"parents": ["fid1"]' in body and b"BYTES" in body
+    assert "multipart/related" in hdrs["Content-Type"]
+    # 4: media download, 5: delete
+    assert calls[3][1].endswith("/files/fid9?alt=media")
+    assert calls[4][0] == "DELETE" and calls[4][1].endswith("/files/fid9")
+
+
+def test_local_dir_drive_persists(tmp_path):
+    from imagined_speech_translation_tpu.companion import (
+        LocalDirDrive,
+        RecordingsBrowser,
+    )
+
+    async def flow():
+        b = RecordingsBrowser(LocalDirDrive(tmp_path / "drv"))
+        meta = await b.save_recording("c.avi", b"XYZ")
+        # a NEW process (fresh instance) sees the same store
+        b2 = RecordingsBrowser(LocalDirDrive(tmp_path / "drv"))
+        got = await b2.list_recordings()
+        assert [f["id"] for f in got] == [meta["id"]]
+        assert await b2.drive.download(meta["id"]) == b"XYZ"
+        await b2.delete(meta["id"])
+        assert await b2.list_recordings() == []
+
+    run(flow())
+
+
+# ---------------------------------------------------------------------------
+# settings panel (settings.dart:22-182)
+# ---------------------------------------------------------------------------
+
+
+def test_settings_panel_surface(tmp_path):
+    from imagined_speech_translation_tpu.companion import SettingsPanel
+
+    prefs = Preferences(tmp_path / "p.json")
+    client, bundle = make_client(prefs=prefs)
+    written = []
+
+    async def device_write(frame):
+        written.append(frame)
+
+    client._device_write = device_write
+    panel = SettingsPanel(client)
+
+    async def flow():
+        key = await client.sign_in(
+            "tok", email="user@example.com", documents=[]
+        )
+        info = await panel.user_info()
+        assert info["email"] == "user@example.com"
+        # wifi creds ride BLE with the page's exact frame (settings.dart:177)
+        await panel.connect_wifi("HomeNet", "hunter2")
+        assert written == [f"wifi|{key}|HomeNet|hunter2"]
+        assert panel.device_info()["model"]
+        panel.set("ip", "192.168.1.7")
+        assert panel.get("ip") == "192.168.1.7"
+        assert panel.all()["logged"] is True
+        panel.sign_out()
+        assert prefs.get_bool("logged") is False
+
+    run(flow())
+
+
+def test_settings_panel_wifi_requires_device(tmp_path):
+    from imagined_speech_translation_tpu.companion import SettingsPanel
+
+    client, _ = make_client(prefs=Preferences(tmp_path / "p.json"))
+    panel = SettingsPanel(client)
+    with pytest.raises(RuntimeError, match="no device"):
+        run(panel.connect_wifi("x", "y"))
