@@ -105,6 +105,51 @@ def main():
     # bf16 storage: inputs quantized to 8-bit mantissa; outputs O(1)
     gate.leq("fwd_bf16_max_err", float(jnp.abs(refb - gotb).max()), 3e-2)
 
+    # ---- numerics at the SHIPPED default head shape (d=128) -----------
+    # The framework default is attn_heads=(6,6,6) -> head dim 128, filling
+    # the MXU's 128 lanes exactly (README divergence table); the gate must
+    # cover the config users actually run, not only the reference's d=96.
+    q8, k8, v8 = (
+        jnp.asarray(rng.normal(size=(2, 6, 333, 128)) * 0.3, jnp.float32)
+        for _ in range(3)
+    )
+    gate.leq(
+        "fwd_f32_d128_max_err",
+        float(jnp.abs(
+            _jnp_attention(q8, k8, v8, None, 128**-0.5)
+            - flash_attention(q8, k8, v8)
+        ).max()),
+        5e-4,
+    )
+    gate.leq(
+        "fwd_bf16_d128_max_err",
+        float(jnp.abs(
+            _jnp_attention(
+                q8.astype(jnp.bfloat16), k8.astype(jnp.bfloat16),
+                v8.astype(jnp.bfloat16), None, 128**-0.5,
+            ).astype(jnp.float32)
+            - flash_attention(
+                q8.astype(jnp.bfloat16), k8.astype(jnp.bfloat16),
+                v8.astype(jnp.bfloat16),
+            ).astype(jnp.float32)
+        ).max()),
+        3e-2,
+    )
+    gf8 = jax.grad(
+        lambda q, k, v: (flash_attention(q, k, v) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q8, k8, v8)
+    gr8 = jax.grad(
+        lambda q, k, v: (_jnp_attention(q, k, v, None, 128**-0.5) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q8, k8, v8)
+    for name, a, b_ in zip("qkv", gf8, gr8):
+        gate.leq(
+            f"split_bwd_d128_d{name}_rel_err",
+            float(jnp.abs(a - b_).max()) / float(jnp.abs(b_).max()),
+            2e-2,
+        )
+
     def loss_flash(q, k, v):
         return (flash_attention(q, k, v) ** 2).sum()
 
@@ -228,11 +273,31 @@ def main():
     report["checks"] = gate.checks
     report["ok"] = gate.ok
 
-    # ---- timing at native shape --------------------------------------
+    # ---- timing: reference head shape AND the shipped default ----------
+    # (6,6,6)-head default -> H=6, D=128 (MXU-lane aligned); the reference
+    # architecture is H=8, D=96.  Both are part of the round record.
+    TIMING_SHAPES = {
+        "ref_h8_d96": (16, 8, 1655, 96),
+        "default_h6_d128": (16, 6, 1655, 128),
+    }
     if not args.quick:
-        B, H, S, D = 16, 8, 1655, 96
-        flops_fwd = 4 * B * H * S * S * D
         timing = {}
+        for shape_tag, (B, H, S, D) in TIMING_SHAPES.items():
+            flops_fwd = 4 * B * H * S * S * D
+            print(f"--- timing {shape_tag}: (B,H,S,D)=({B},{H},{S},{D}) ---")
+            _time_shape(
+                timing, shape_tag, B, H, S, D, flops_fwd, args, seed
+            )
+        report["timing"] = timing
+
+    if args.json:
+        Path(args.json).write_text(json.dumps(report, indent=2))
+    print("KERNELCHECK", "OK" if gate.ok else "FAILED")
+    return 0 if gate.ok else 1
+
+
+def _time_shape(timing, tag, B, H, S, D, flops_fwd, args, seed):
+    if True:  # keep the original block's indentation shape
         for dtype in (jnp.bfloat16, jnp.float32):
             # generate ON DEVICE: host arrays of this size (3x40 MB) would
             # ship through the (slow) remote-TPU tunnel on every run
@@ -246,8 +311,8 @@ def main():
                 )
             )
             t = timeit(fwd, qq, kk, vv)
-            timing[f"{dtype.__name__}_fwd_ms"] = round(t * 1e3, 2)
-            timing[f"{dtype.__name__}_fwd_tflops"] = round(flops_fwd / t / 1e12, 1)
+            timing[f"{tag}_{dtype.__name__}_fwd_ms"] = round(t * 1e3, 2)
+            timing[f"{tag}_{dtype.__name__}_fwd_tflops"] = round(flops_fwd / t / 1e12, 1)
             print(
                 f"[{dtype.__name__}] fwd  {t*1e3:7.2f} ms  "
                 f"{flops_fwd/t/1e12:6.1f} TFLOP/s"
@@ -261,8 +326,8 @@ def main():
                 )
             )
             t = timeit(grad, qq, kk, vv, iters=10)
-            timing[f"{dtype.__name__}_fwdbwd_ms"] = round(t * 1e3, 2)
-            timing[f"{dtype.__name__}_fwdbwd_tflops"] = round(
+            timing[f"{tag}_{dtype.__name__}_fwdbwd_ms"] = round(t * 1e3, 2)
+            timing[f"{tag}_{dtype.__name__}_fwdbwd_tflops"] = round(
                 3.5 * flops_fwd / t / 1e12, 1
             )
             print(
@@ -279,24 +344,14 @@ def main():
                 )
             )
             t = timeit(gradd, qq, kk, vv, iters=10)
-            timing[f"{dtype.__name__}_fwdbwd_dropout_ms"] = round(t * 1e3, 2)
-            timing[f"{dtype.__name__}_fwdbwd_dropout_tflops"] = round(
+            timing[f"{tag}_{dtype.__name__}_fwdbwd_dropout_ms"] = round(t * 1e3, 2)
+            timing[f"{tag}_{dtype.__name__}_fwdbwd_dropout_tflops"] = round(
                 3.5 * flops_fwd / t / 1e12, 1
             )
             print(
                 f"[{dtype.__name__}] grad+dropout {t*1e3:7.2f} ms  "
                 f"{3.5*flops_fwd/t/1e12:6.1f} TFLOP/s"
             )
-        report["timing"] = timing
-
-    if args.json:
-        Path(args.json).write_text(json.dumps(report, indent=2))
-        print(f"wrote {args.json}")
-    if not gate.ok:
-        print("KERNEL CHECK FAILED")
-        return 1
-    print("KERNEL CHECK OK")
-    return 0
 
 
 if __name__ == "__main__":
