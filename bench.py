@@ -94,7 +94,14 @@ def run_measurement():
         jnp.zeros((B, 4), jnp.int32),
         channel_mask,
     )
-    # bfloat16 inference: params + activations on the MXU fast path
+    # inference-only BN folding (f32, BEFORE the bf16 cast), then
+    # bfloat16 params + activations on the MXU fast path
+    if os.environ.get("BENCH_FOLD_BN", "1") == "1":
+        from imagined_speech_translation_tpu.models.folding import (
+            fold_batch_norm,
+        )
+
+        variables = fold_batch_norm(variables)
     if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
         from imagined_speech_translation_tpu.utils.trees import cast_floating
 

@@ -25,7 +25,9 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def build_decode_fn(cfg, tokenizer, region_spec, variables, *, mesh=None):
+def build_decode_fn(
+    cfg, tokenizer, region_spec, variables, *, mesh=None, fold_bn=True
+):
     """(N, 48, T) raw windows → list[str], one fused jitted program.
 
     With ``mesh`` (a ``jax.sharding.Mesh``), the batch axis is sharded over
@@ -45,7 +47,13 @@ def build_decode_fn(cfg, tokenizer, region_spec, variables, *, mesh=None):
     from ..decode import DecodeParams, build_generate_fn
     from ..frontend import SignalFrontend
     from ..models import EEGDecodingModel
+    from ..models.folding import fold_batch_norm
 
+    if fold_bn:
+        # inference-only: fold eval-mode BatchNorm into the conv stems
+        # (models/folding.py) — removes the per-channel affine between
+        # MXU convs; algebraically identical, float-rounding aside
+        variables = fold_batch_norm(variables)
     model = EEGDecodingModel(cfg.model)
     frontend = SignalFrontend(cfg.frontend)
     # decode ids from the tokenizer (the data contract; see trainer.py note)

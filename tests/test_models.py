@@ -223,3 +223,72 @@ def test_exact_top_k_matches_lax_top_k():
         lv, li = jax.lax.top_k(x, k)
         np.testing.assert_array_equal(np.asarray(ev), np.asarray(lv))
         np.testing.assert_array_equal(np.asarray(ei), np.asarray(li))
+
+
+def test_batchnorm_folding_preserves_eval_forward(rng):
+    """models/folding.py: with NON-trivial running stats/affines, the folded
+    variables reproduce the eval-mode forward (all three fold sites:
+    conv+bias, bias-less residual conv, depthwise→pointwise), and the BN
+    leaves are actually neutralized."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagined_speech_translation_tpu.models import EEGDecodingModel
+    from imagined_speech_translation_tpu.models.folding import fold_batch_norm
+    from tests.helpers import tiny_config, tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    cfg = tiny_config(tok.vocab_size)
+    model = EEGDecodingModel(cfg.model)
+    eeg = jnp.asarray(rng.normal(size=(2, 4, 16, 64)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, tok.vocab_size, (2, 6)), jnp.int32)
+    mask = jnp.ones((4, 16), bool)
+    variables = jax.jit(model.init)(jax.random.key(0), eeg, ids, mask)
+
+    # randomize stats + BN affines so the fold is doing real arithmetic
+    key = iter(jax.random.split(jax.random.key(1), 64))
+
+    def perturb_stats(x):
+        return jnp.abs(jax.random.normal(next(key), x.shape)) + 0.3
+
+    def perturb(tree, pred):
+        def visit(d, path=()):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    visit(v, path + (k,))
+                elif pred(path + (k,)):
+                    d[k] = jax.random.normal(next(key), v.shape) * 0.5 + 1.0
+        visit(tree)
+
+    variables = jax.tree.map(lambda x: x, variables)  # writable copy
+    variables["batch_stats"] = jax.tree.map(
+        perturb_stats, variables["batch_stats"]
+    )
+    perturb(
+        variables["params"],
+        lambda p: any("bn" in seg for seg in p) and p[-1] in ("scale", "bias"),
+    )
+
+    ref = model.apply(variables, eeg, ids, mask, train=False)
+    folded = fold_batch_norm(variables)
+    got = model.apply(folded, eeg, ids, mask, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+
+    # every BN is neutralized: scale 1, stats (0, 1-eps)
+    enc = folded["params"]["brain_encoder"]["region_encoders"]
+    stats = folded["batch_stats"]["brain_encoder"]["region_encoders"]
+    for name, sub in stats.items():
+        bn = sub["bn"] if "bn" in sub else sub
+        np.testing.assert_array_equal(np.asarray(bn["mean"]), 0.0)
+        np.testing.assert_allclose(np.asarray(bn["var"]), 1.0 - 1e-5)
+        pbn = enc[name]["bn"] if "bn" in sub else enc[name]
+        np.testing.assert_array_equal(np.asarray(pbn["scale"]), 1.0)
+    # conv+bias sites fully absorb the shift; bias-less residuals keep it
+    np.testing.assert_array_equal(
+        np.asarray(enc["stage0_convbn"]["bn"]["bias"]), 0.0
+    )
+    assert np.abs(
+        np.asarray(enc["stage0_residual"]["bn"]["bias"])
+    ).max() > 0
