@@ -26,7 +26,8 @@ logger = logging.getLogger(__name__)
 
 
 def build_decode_fn(
-    cfg, tokenizer, region_spec, variables, *, mesh=None, fold_bn=True
+    cfg, tokenizer, region_spec, variables, *, mesh=None, fold_bn=True,
+    compute_dtype=None,
 ):
     """(N, 48, T) raw windows → list[str], one fused jitted program.
 
@@ -54,6 +55,12 @@ def build_decode_fn(
         # (models/folding.py) — removes the per-channel affine between
         # MXU convs; algebraically identical, float-rounding aside
         variables = fold_batch_norm(variables)
+    if compute_dtype is not None:
+        # bf16 serving: params cast AFTER the f32 fold; activations cast
+        # after the (numerically sensitive) IIR preprocess below
+        from ..utils.trees import cast_floating
+
+        variables = cast_floating(variables, compute_dtype)
     model = EEGDecodingModel(cfg.model)
     frontend = SignalFrontend(cfg.frontend)
     # decode ids from the tokenizer (the data contract; see trainer.py note)
@@ -75,6 +82,8 @@ def build_decode_fn(
         clean = frontend.preprocess(raw)
         stacked = clean[:, gather.reshape(-1), :].reshape(raw.shape[0], R, C, T)
         stacked = jnp.where(mask[None, :, :, None], stacked, 0.0)
+        if compute_dtype is not None:
+            stacked = stacked.astype(compute_dtype)
         return generate(variables, stacked, mask)
 
     if mesh is not None:
@@ -129,6 +138,11 @@ def main(argv=None):
         "--data-parallel", type=int, default=0,
         help="shard each decode batch over this many devices (0 = single "
         "device); requires --max-batch divisible by it",
+    )
+    ap.add_argument(
+        "--compute-dtype", default=None, choices=("bfloat16", "float32"),
+        help="serving compute dtype; bfloat16 halves HBM weight traffic and "
+        "doubles MXU rate (IIR preprocess and BN fold stay float32)",
     )
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -193,7 +207,10 @@ def main(argv=None):
 
         mesh = make_mesh(args.data_parallel, 1)
         logger.info("decode mesh: %s", dict(mesh.shape))
-    decode_fn = build_decode_fn(cfg, tokenizer, spec, variables, mesh=mesh)
+    decode_fn = build_decode_fn(
+        cfg, tokenizer, spec, variables, mesh=mesh,
+        compute_dtype=jnp.dtype(args.compute_dtype) if args.compute_dtype else None,
+    )
 
     n_ch = spec.gather_indices.max() + 1  # raw montage channels expected
 

@@ -217,4 +217,19 @@ def test_dp_decode_identity_smoke(tmp_path, eight_devices):
         .normal(size=(8, n_ch, cfg.data.n_timepoints))
         .astype(np.float32)
     )
-    assert dp_fn(windows) == ref_fn(windows)
+    ref_out = ref_fn(windows)
+    assert dp_fn(windows) == ref_out
+
+    # compute_dtype plumbing: float32 is exactly the default path; bfloat16
+    # (the serving config for the chip) builds, runs, and keeps the IIR
+    # preprocess + fold in f32 so outputs stay sane on a tiny random model.
+    f32_fn = build_decode_fn(
+        cfg, tok, spec, variables, compute_dtype=jnp.float32
+    )
+    assert f32_fn(windows) == ref_out
+    bf16_fn = build_decode_fn(
+        cfg, tok, spec, variables, compute_dtype=jnp.bfloat16
+    )
+    bf16_out = bf16_fn(windows)
+    assert len(bf16_out) == len(ref_out)
+    assert all(isinstance(t, str) for t in bf16_out)
