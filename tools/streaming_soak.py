@@ -38,6 +38,115 @@ def _rss_mb() -> float:
     return float("nan")
 
 
+def build_full_size_service(pooled: bool, max_batch: int, cfg=None):
+    """WssService over the SHIPPED serving path at full size, on the default
+    platform (the TPU chip when present): ``cli/serve.build_decode_fn`` with
+    the default config, BN folding, and bfloat16 compute — the configuration
+    ``cli/serve --max-batch 16 --compute-dtype bfloat16`` deploys.  Random
+    weights (decode timing is weight-independent; the program is identical).
+
+    ``cfg`` overrides the model config (tests inject tiny dims; the real
+    soak uses ``default_config()``).
+
+    Returns (service, registry, scheduler, window_length, n_channels).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from imagined_speech_translation_tpu.cli.serve import build_decode_fn
+    from imagined_speech_translation_tpu.config import default_config
+    from imagined_speech_translation_tpu.data.regions import RegionSpec
+    from imagined_speech_translation_tpu.data.synthetic import (
+        make_synthetic_montage,
+    )
+    from imagined_speech_translation_tpu.data.tokenizer import (
+        ChineseCharTokenizer,
+    )
+    from imagined_speech_translation_tpu.models import EEGDecodingModel
+    from imagined_speech_translation_tpu.runtime.batcher import (
+        BatchScheduler,
+        BatchingDecodePipeline,
+    )
+    from imagined_speech_translation_tpu.runtime.server import WssService
+    from imagined_speech_translation_tpu.runtime.session import SessionRegistry
+    from imagined_speech_translation_tpu.runtime.streaming import (
+        DecodePipeline,
+        RingBuffer,
+        ThresholdWakeGate,
+        Windower,
+    )
+    import tempfile
+
+    if cfg is None:
+        cfg = default_config().validate()
+    window = cfg.data.n_timepoints
+    with tempfile.TemporaryDirectory() as td:
+        labels = make_synthetic_montage(Path(td) / "montage.csv")
+    spec = RegionSpec.from_channel_names(labels)
+    n_channels = int(spec.gather_indices.max()) + 1
+    # synthetic vocab at the real size: ids/specials match the data contract,
+    # surface forms don't matter for timing
+    base = (
+        ["[PAD]"]
+        + [f"[unused{i}]" for i in range(99)]
+        + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    )
+    vocab = base + [
+        f"[w{i}]" for i in range(cfg.model.bart.vocab_size - len(base))
+    ]
+    tok = ChineseCharTokenizer(vocab)
+
+    model = EEGDecodingModel(cfg.model)
+    mask = jnp.asarray(spec.channel_mask)
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((1, *spec.channel_mask.shape, window), jnp.float32),
+        jnp.zeros((1, spec.channel_mask.shape[0]), jnp.int32),
+        mask,
+    )
+    decode_fn = build_decode_fn(
+        cfg, tok, spec, variables, compute_dtype=jnp.bfloat16
+    )
+    print("backend:", jax.default_backend(), "window:", window, flush=True)
+    t0 = time.time()
+    decode_fn(np.zeros((max_batch, n_channels, window), np.float32))
+    print(f"warmup compile: {time.time() - t0:.1f}s", flush=True)
+
+    scheduler = None
+    if pooled:
+        scheduler = BatchScheduler(
+            decode_fn, max_batch=max_batch, max_delay_ms=25.0
+        )
+
+        def pipeline_factory(key):
+            rb = RingBuffer(n_channels, window * 8)
+            return BatchingDecodePipeline(
+                windower=Windower(rb, window=window, hop=window),
+                scheduler=scheduler,
+                wake_gate=ThresholdWakeGate(0.05),
+            )
+
+    else:
+
+        def pipeline_factory(key):
+            rb = RingBuffer(n_channels, window * 8)
+            return DecodePipeline(
+                windower=Windower(rb, window=window, hop=window),
+                decode_fn=decode_fn,
+                wake_gate=ThresholdWakeGate(0.05),
+                max_batch=max_batch,
+            )
+
+    reg = SessionRegistry()
+
+    @reg.command("speak")
+    async def speak(session, args):
+        return {"spoken": args[0] if args else ""}
+
+    svc = WssService(reg, pipeline_factory=pipeline_factory, n_channels=n_channels)
+    return svc, reg, scheduler, window, n_channels
+
+
 def build_service(n_channels: int, window: int, pooled: bool = False):
     """WssService with a REAL jitted tiny-model decode pipeline (CPU).
 
@@ -182,6 +291,9 @@ async def soak(
     port: int,
     sessions: int = 1,
     pooled: bool = False,
+    full_size: bool = False,
+    max_batch: int = 4,
+    cfg=None,
 ) -> dict:
     import websockets
 
@@ -191,8 +303,13 @@ async def soak(
     )
     from imagined_speech_translation_tpu.runtime.protocol import BinaryFrame, TextFrame
 
-    n_channels, window = 48, 128
-    svc, reg, scheduler = build_service(n_channels, window, pooled=pooled)
+    if full_size:
+        svc, reg, scheduler, window, n_channels = build_full_size_service(
+            pooled=pooled, max_batch=max_batch, cfg=cfg
+        )
+    else:
+        n_channels, window = 48, 128
+        svc, reg, scheduler = build_service(n_channels, window, pooled=pooled)
 
     counters = {
         "frames_sent": 0, "utterances": 0, "errors": 0, "text_cmds": 0,
@@ -330,6 +447,9 @@ async def soak(
         "rss_series": [(round(t, 1), round(m, 1)) for t, m in rss],
         "sessions": sessions,
         "pooled": pooled,
+        "full_size": full_size,
+        "window": window,
+        "max_batch": max_batch if full_size else 4,
         "pipeline_latency": (
             scheduler.stats()
             if scheduler is not None
@@ -365,11 +485,21 @@ def main():
         "--pooled", action="store_true",
         help="route all sessions through one shared BatchScheduler",
     )
+    ap.add_argument(
+        "--full-size", action="store_true",
+        help="serve the SHIPPED full-size model (default config, BN-folded, "
+        "bfloat16) on the default platform — the on-chip serving soak",
+    )
+    ap.add_argument(
+        "--max-batch", type=int, default=4,
+        help="pooled/pipeline decode batch in --full-size mode",
+    )
     args = ap.parse_args()
     report = asyncio.run(
         soak(
             args.minutes, Path(args.out), args.port,
             sessions=args.sessions, pooled=args.pooled,
+            full_size=args.full_size, max_batch=args.max_batch,
         )
     )
     slim = {k: v for k, v in report.items() if k != "rss_series"}
