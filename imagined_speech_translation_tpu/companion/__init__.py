@@ -11,8 +11,11 @@ upload (``app/lib/helper/query.dart``), BLE pairing with command dispatch
 (shared_preferences).  This package implements every one of those behaviors
 as a transport-agnostic Python client so a headless host (or any future UI)
 can drive the full companion protocol against
-:mod:`imagined_speech_translation_tpu.runtime`; the Flutter rendering layer
-itself (widgets, animations) is deliberately out of scope.
+:mod:`imagined_speech_translation_tpu.runtime`.  The rendered device page
+(:mod:`.webui` + ``ist-companion-ui``) serves the same surfaces as a local
+web app — connection banner, meters, blind-support toggle, settings +
+WiFi-QR provisioning (:mod:`.qr`), recordings browser — replacing the
+reference's Flutter widgets with a dependency-free HTML twin.
 """
 
 from .ble import BleLink, BleTransport, InMemoryBle
@@ -27,6 +30,7 @@ from .recordings import (
 )
 from .settings import SettingsPanel
 from .transport import InProcessTransport, WebsocketTransport
+from .webui import DeviceUI
 from .wifi import is_online
 
 __all__ = [
@@ -36,6 +40,7 @@ __all__ = [
     "CompanionClient",
     "CompanionError",
     "Contact",
+    "DeviceUI",
     "GoogleDrive",
     "InMemoryBle",
     "InMemoryDrive",
