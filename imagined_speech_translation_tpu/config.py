@@ -265,6 +265,10 @@ class OptimizerConfig:
     # single-tree-pass clip+AdamW (fused_optimizer.py); numerics match the
     # optax chain exactly (tested) — opt-in until measured faster on-chip
     fused: bool = False
+    # storage dtype for the FIRST moment (optax adamw mu_dtype semantics:
+    # math in f32, mu stored narrow). "bfloat16" halves the m-state HBM
+    # traffic (~0.6 GB/step at 310M params); nu stays float32
+    mu_dtype: str | None = None
 
 
 @_frozen()
@@ -374,6 +378,10 @@ class Config:
             raise ValueError("warmup_steps must be >= 0")
         if self.training.rng_impl not in ("rbg", "threefry2x32", "unsafe_rbg"):
             raise ValueError(f"unknown rng_impl {self.training.rng_impl!r}")
+        if self.training.optimizer.mu_dtype not in (None, "bfloat16", "float32"):
+            raise ValueError(
+                f"unknown mu_dtype {self.training.optimizer.mu_dtype!r}"
+            )
         return self
 
     # ------------------------------------------------------------------

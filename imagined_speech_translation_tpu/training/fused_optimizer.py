@@ -73,12 +73,19 @@ def build_fused_adamw(
     }
     b1, b2, eps = cfg.adam_b1, cfg.adam_b2, cfg.adam_eps
     wd, max_norm = cfg.weight_decay, cfg.max_grad_norm
+    # optax adamw mu_dtype semantics: the Adam math runs in the grad dtype;
+    # only the STORED first moment is cast narrow
+    mu_dtype = jnp.dtype(cfg.mu_dtype) if cfg.mu_dtype else None
 
     def init(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
+        def mu_like(p):
+            if mu_dtype is not None and jnp.issubdtype(p.dtype, jnp.floating):
+                return jnp.zeros(p.shape, mu_dtype)
+            return jnp.zeros_like(p)
+
         return FusedAdamWState(
             count=jnp.zeros((), jnp.int32),
-            mu=zeros,
+            mu=jax.tree.map(mu_like, params),
             nu=jax.tree.map(jnp.zeros_like, params),
         )
 
@@ -100,9 +107,11 @@ def build_fused_adamw(
             if not jnp.issubdtype(jnp.asarray(g).dtype, jnp.floating):
                 return g * 0, mu, nu
             gc = g * clip_scale.astype(g.dtype)
-            mu_n = b1 * mu + (1.0 - b1) * gc
+            mu_n = b1 * mu.astype(gc.dtype) + (1.0 - b1) * gc
             nu_n = b2 * nu + (1.0 - b2) * jnp.square(gc)
             upd = (mu_n / bc1) / (jnp.sqrt(nu_n / bc2) + eps) + wd * p
+            if mu_dtype is not None:
+                mu_n = mu_n.astype(mu_dtype)
             return (-lr[label] * upd).astype(p.dtype), mu_n, nu_n
 
         fused = jax.tree.map(leaf, grads, state.mu, state.nu, params, labels)

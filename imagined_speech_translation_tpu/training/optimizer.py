@@ -75,6 +75,9 @@ def build_optimizer(
             b2=cfg.adam_b2,
             eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay,
+            # narrow first-moment storage (math stays f32 — optax casts the
+            # stored mu only); halves the m-state HBM traffic on chip
+            mu_dtype=cfg.mu_dtype,
         )
         for name, lr in group_lrs(cfg).items()
     }

@@ -338,6 +338,59 @@ def optax_apply(params, updates):
     return optax.apply_updates(params, updates)
 
 
+def test_mu_dtype_narrow_state_tracks_f32():
+    """mu_dtype='bfloat16' stores the first moment narrow in BOTH the optax
+    and fused paths (optax adamw mu_dtype semantics: math f32, stored mu
+    cast), and the trajectory stays close to the f32-state run."""
+    import dataclasses
+
+    from imagined_speech_translation_tpu.config import OptimizerConfig
+
+    cfg = OptimizerConfig(warmup_steps=2)
+    params = {
+        "brain_encoder": {"w": jnp.linspace(-1, 1, 12).reshape(3, 4)},
+        "bart": {"emb": jnp.ones((4, 2)) * 0.3},
+    }
+    variants = {}
+    for name, over in (
+        ("f32", {}),
+        ("optax_bf16", {"mu_dtype": "bfloat16"}),
+        ("fused_bf16", {"fused": True, "mu_dtype": "bfloat16"}),
+    ):
+        opt = build_optimizer(params, dataclasses.replace(cfg, **over), 12)
+        st = opt.init(params)
+        p = params
+        key = jax.random.key(3)
+        for _ in range(5):
+            key, sub = jax.random.split(key)
+            grads = jax.tree.map(
+                lambda q: 0.1 * jax.random.normal(sub, q.shape), p
+            )
+            u, st = opt.update(grads, st, p)
+            p = optax_apply(p, u)
+        variants[name] = (p, st)
+
+    def mu_leaves(st):
+        # optax chain state nests; grab every array whose path mentions mu
+        out = []
+        jax.tree_util.tree_map_with_path(
+            lambda path, x: out.append(x)
+            if "mu" in str(path) and hasattr(x, "dtype")
+            else None,
+            st,
+        )
+        return out
+
+    for name in ("optax_bf16", "fused_bf16"):
+        mus = mu_leaves(variants[name][1])
+        assert mus and all(m.dtype == jnp.bfloat16 for m in mus), name
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=0, atol=5e-3),
+            variants["f32"][0],
+            variants[name][0],
+        )
+
+
 def test_fused_optimizer_in_train_step(setup):
     """The fused optimizer drops into the real jitted accumulation window and
     reproduces the stock optax trajectory step-for-step."""

@@ -38,6 +38,11 @@ def main():
         action="store_true",
         help="single-pass fused clip+AdamW (fused_optimizer.py)",
     )
+    ap.add_argument(
+        "--mu-dtype",
+        default=None,
+        help="first-moment storage dtype (bfloat16 halves m-state traffic)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -68,6 +73,10 @@ def main():
             )
         if args.fused:
             cfg = replace_nested(cfg, "training.optimizer.fused", True)
+        if args.mu_dtype:
+            cfg = replace_nested(
+                cfg, "training.optimizer.mu_dtype", args.mu_dtype
+            )
         T = cfg.data.n_timepoints
         B = args.micro
 
