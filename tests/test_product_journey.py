@@ -180,6 +180,64 @@ def test_full_product_journey(tmp_path):
         assert texts == ["我想喝水"] * 3
         assert all(shape[1] == N_CH for shape in decoded_log)
 
+        # -- 6b. the RENDERED device page rides the same planes -----------
+        # (companion/webui.py): same prefs store, same BLE write channel
+        import json as _json
+        import threading
+        import urllib.request
+
+        from imagined_speech_translation_tpu.companion import DeviceUI
+        from imagined_speech_translation_tpu.companion.webui import serve
+
+        ui = DeviceUI(
+            prefs, tmp_path / "drive", device_write=device_write,
+            auth_key=key,
+        )
+        ui.ble, ui.battery, ui.volume = link.connected, link.battery, link.volume
+        httpd = serve(ui, "127.0.0.1", 0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+        def _get(path):
+            with urllib.request.urlopen(base + path, timeout=10) as r:
+                return _json.loads(r.read())
+
+        def _post(path, obj=None):
+            req = urllib.request.Request(
+                base + path, data=_json.dumps(obj or {}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return _json.loads(r.read())
+
+        state = await asyncio.to_thread(_get, "/api/state")
+        # the page sees the BLE-pushed state: LAN ip -> wifi + cast URL,
+        # battery/volume meters, the signed-in email, the blind toggle
+        assert state["wifi"] and state["cast_url"] == "https://192.168.1.77:81/"
+        assert (state["battery"], state["volume"]) == (83, 6)
+        assert state["email"] == "user@example.com"
+        assert state["blind_support"] is True
+
+        # WiFi form pushes credentials over the REAL BLE link (and renders
+        # the provisioning QR)
+        out = await asyncio.to_thread(
+            _post, "/api/wifi", {"ssid": "Home", "password": "pw"}
+        )
+        assert out["pushed"] and out["qr_svg"].startswith("<svg")
+        assert radio.written[-1] == f"wifi|{key}|Home|pw".encode()
+
+        # a decoded utterance saved as a recording shows up in the browser
+        import base64 as _b64
+
+        await asyncio.to_thread(
+            _post, "/api/recordings/save",
+            {"name": "utterance-1.txt",
+             "content_b64": _b64.b64encode(texts[0].encode()).decode()},
+        )
+        recs = await asyncio.to_thread(_get, "/api/recordings")
+        assert [f["name"] for f in recs["recordings"]] == ["utterance-1.txt"]
+        httpd.shutdown()
+
         # -- 7. audio conversation loop: STT -> LLM -> DSL -> action ------
         replies = await svc.handle_binary(
             b"audio|" + key.encode() + b"|" + b"\x00\x01" * 800
