@@ -245,6 +245,11 @@ def build_service(n_channels: int, window: int, pooled: bool = False):
         )
         return [" ".join(map(str, row[row > 0])) for row in toks[:n]]
 
+    # warm the decode program before the clock starts: the first call
+    # compiles (tens of seconds on a busy CPU) and would otherwise be
+    # charged to the soak's latency series
+    decode_fn(np.zeros((1, 48, window), np.float32))
+
     scheduler = None
     if pooled:
         from imagined_speech_translation_tpu.runtime.batcher import (
