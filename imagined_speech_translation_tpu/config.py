@@ -263,12 +263,15 @@ class OptimizerConfig:
     adam_eps: float = 1e-8
     max_grad_norm: float = 1.0
     # single-tree-pass clip+AdamW (fused_optimizer.py); numerics match the
-    # optax chain exactly (tested) — opt-in until measured faster on-chip
-    fused: bool = False
+    # optax chain exactly (tested).  Default since round 4: measured 720 vs
+    # 724 ms/window on v5e and identical loss curves
+    # (runs/train_profile/accum_curve.json); set false for the optax chain.
+    fused: bool = True
     # storage dtype for the FIRST moment (optax adamw mu_dtype semantics:
     # math in f32, mu stored narrow). "bfloat16" halves the m-state HBM
-    # traffic (~0.6 GB/step at 310M params); nu stays float32
-    mu_dtype: str | None = None
+    # traffic (~0.6 GB/step at 310M params); nu stays float32.  Default
+    # since round 4 (curve-guard verified); set None to store mu in f32.
+    mu_dtype: str | None = "bfloat16"
 
 
 @_frozen()
@@ -301,13 +304,16 @@ class TrainingConfig:
     # kernels (33 vs 28 samples/s, tools/tpu_train_bench.py); set false to
     # reproduce the reference numerics exactly.
     mixed_precision: bool = True
-    # Gradient-accumulation carry dtype under mixed precision.  "float32"
-    # (default) is the standard master-gradient scheme; "bfloat16" halves
-    # the accumulator HBM traffic across the accumulation scan at the cost
-    # of ~8 low-order mantissa bits in the summed gradient (guard: the
+    # Gradient-accumulation carry dtype under mixed precision.  "bfloat16"
+    # (default since round 4) halves the accumulator HBM traffic across the
+    # accumulation scan at the cost of ~8 low-order mantissa bits in the
+    # summed gradient; measured 712 vs 724 ms/window on v5e with a
+    # loss-curve delta <0.04% over 40 full-size windows
+    # (tools/accum_curve_check.py -> runs/train_profile/accum_curve.json).
+    # "float32" restores the standard master-gradient scheme (guard: the
     # accumulated-gradient parity test in tests/test_training.py).  Ignored
     # when mixed_precision is false.
-    grad_accum_dtype: str = "float32"
+    grad_accum_dtype: str = "bfloat16"
     # PRNG implementation for the in-step dropout keys.  "rbg" rides XLA's
     # hardware RngBitGenerator — measured 898 -> 794 ms/window on v5e (the
     # default threefry2x32 spends ~100 ms/window computing dropout masks on
