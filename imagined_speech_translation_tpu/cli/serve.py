@@ -27,9 +27,17 @@ logger = logging.getLogger(__name__)
 
 def build_decode_fn(
     cfg, tokenizer, region_spec, variables, *, mesh=None, fold_bn=True,
-    compute_dtype=None,
+    compute_dtype=None, transfer_dtype=None,
 ):
     """(N, 48, T) raw windows → list[str], one fused jitted program.
+
+    ``transfer_dtype=np.float16`` casts the raw windows on the HOST and
+    upcasts to float32 on-device before the IIR preprocess: halves
+    host→device bytes per decode call (PCIe, or a remote-tunnel transport).
+    Raw EEG spans ~±50 µV-scale units after acquisition scaling; float16's
+    ~3 decimal digits keep the cast error far below the noise floor, but
+    the mode stays opt-in because decoded tokens are no longer bit-pinned
+    to the float32 path.
 
     With ``mesh`` (a ``jax.sharding.Mesh``), the batch axis is sharded over
     every non-``model`` mesh axis and the weights are replicated, so one
@@ -83,7 +91,8 @@ def build_decode_fn(
     # full weight set (hundreds of MB — remote-compile transports reject
     # it) and pinning the executable to one weight snapshot
     def run(params, raw):
-        clean = frontend.preprocess(raw)
+        # half-precision transfer upcasts before the (f32-sensitive) IIR
+        clean = frontend.preprocess(raw.astype(jnp.float32))
         stacked = clean[:, gather.reshape(-1), :].reshape(raw.shape[0], R, C, T)
         stacked = jnp.where(mask[None, :, :, None], stacked, 0.0)
         if compute_dtype is not None:
@@ -115,7 +124,10 @@ def build_decode_fn(
                 f"batch {windows.shape[0]} not divisible by the mesh's "
                 f"{n_shards} batch shards"
             )
-        tokens = np.asarray(run(variables, jnp.asarray(windows, jnp.float32)))
+        wire = np.asarray(
+            windows, transfer_dtype if transfer_dtype is not None else np.float32
+        )
+        tokens = np.asarray(run(variables, jnp.asarray(wire)))
         return [t.strip() for t in tokenizer.batch_decode(tokens)]
 
     return decode_fn
@@ -152,6 +164,11 @@ def main(argv=None):
         "--compute-dtype", default=None, choices=("bfloat16", "float32"),
         help="serving compute dtype; bfloat16 halves HBM weight traffic and "
         "doubles MXU rate (IIR preprocess and BN fold stay float32)",
+    )
+    ap.add_argument(
+        "--transfer-dtype", default=None, choices=("float16", "float32"),
+        help="host->device wire dtype for raw windows; float16 halves "
+        "transfer bytes (upcast to float32 on-device before the IIR)",
     )
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -219,6 +236,7 @@ def main(argv=None):
     decode_fn = build_decode_fn(
         cfg, tokenizer, spec, variables, mesh=mesh,
         compute_dtype=jnp.dtype(args.compute_dtype) if args.compute_dtype else None,
+        transfer_dtype=np.dtype(args.transfer_dtype) if args.transfer_dtype else None,
     )
 
     n_ch = spec.gather_indices.max() + 1  # raw montage channels expected

@@ -38,7 +38,9 @@ def _rss_mb() -> float:
     return float("nan")
 
 
-def build_full_size_service(pooled: bool, max_batch: int, cfg=None):
+def build_full_size_service(
+    pooled: bool, max_batch: int, cfg=None, transfer_dtype=None
+):
     """WssService over the SHIPPED serving path at full size, on the default
     platform (the TPU chip when present): ``cli/serve.build_decode_fn`` with
     the default config, BN folding, and bfloat16 compute — the configuration
@@ -105,7 +107,8 @@ def build_full_size_service(pooled: bool, max_batch: int, cfg=None):
         mask,
     )
     decode_fn = build_decode_fn(
-        cfg, tok, spec, variables, compute_dtype=jnp.bfloat16
+        cfg, tok, spec, variables, compute_dtype=jnp.bfloat16,
+        transfer_dtype=transfer_dtype,
     )
     print("backend:", jax.default_backend(), "window:", window, flush=True)
     t0 = time.time()
@@ -299,6 +302,8 @@ async def soak(
     full_size: bool = False,
     max_batch: int = 4,
     cfg=None,
+    transfer_dtype=None,
+    rss_budget_mb_per_h: float = 32.0,
 ) -> dict:
     import websockets
 
@@ -310,7 +315,8 @@ async def soak(
 
     if full_size:
         svc, reg, scheduler, window, n_channels = build_full_size_service(
-            pooled=pooled, max_batch=max_batch, cfg=cfg
+            pooled=pooled, max_batch=max_batch, cfg=cfg,
+            transfer_dtype=transfer_dtype,
         )
     else:
         n_channels, window = 48, 128
@@ -437,6 +443,17 @@ async def soak(
         ms = np.array([m for _, m in rss_half])
         slope_mb_per_h = float(np.polyfit(ts, ms, 1)[0] * 3600.0)
 
+    # host->device accounting: every pooled launch moves one padded
+    # (max_batch, C, W) batch to the device.  A transport that leaks per
+    # transfer (the remote TPU tunnel does; local PJRT does not) shows up
+    # as rss_growth ~= h2d_total -- the ratio attributes it.
+    wire_bytes = 2 if transfer_dtype is not None else 4
+    n_launches = scheduler.batches if scheduler is not None else None
+    h2d_mb = (
+        round(n_launches * max_batch * n_channels * window * wire_bytes / 2**20, 1)
+        if n_launches is not None and full_size
+        else None
+    )
     report = {
         "duration_min": round(dur_s / 60.0, 1),
         **counters,
@@ -449,6 +466,13 @@ async def soak(
         "rss_start_mb": round(rss[0][1], 1) if rss else None,
         "rss_end_mb": round(rss[-1][1], 1) if rss else None,
         "rss_slope_second_half_mb_per_h": round(slope_mb_per_h, 2),
+        "rss_budget_mb_per_h": rss_budget_mb_per_h,
+        "h2d_total_mb": h2d_mb,
+        "rss_growth_per_h2d_mb": (
+            round((rss[-1][1] - rss[0][1]) / h2d_mb, 3)
+            if h2d_mb and rss
+            else None
+        ),
         "rss_series": [(round(t, 1), round(m, 1)) for t, m in rss],
         "sessions": sessions,
         "pooled": pooled,
@@ -466,7 +490,7 @@ async def soak(
     ok = (
         counters["errors"] == 0
         and counters["utterances"] > 0
-        and slope_mb_per_h < 32.0
+        and slope_mb_per_h < rss_budget_mb_per_h
         and (
             report["latency_p95_second_half_ms"] is None
             or report["latency_p95_first_half_ms"] is None
@@ -499,12 +523,23 @@ def main():
         "--max-batch", type=int, default=4,
         help="pooled/pipeline decode batch in --full-size mode",
     )
+    ap.add_argument(
+        "--transfer-dtype", default=None, choices=("float16",),
+        help="half-precision host->device wire for --full-size decode",
+    )
+    ap.add_argument(
+        "--rss-budget-mb-per-h", type=float, default=32.0,
+        help="RSS-slope pass budget; raise ONLY with an attributed "
+        "transport leak (see rss_growth_per_h2d_mb in the report)",
+    )
     args = ap.parse_args()
     report = asyncio.run(
         soak(
             args.minutes, Path(args.out), args.port,
             sessions=args.sessions, pooled=args.pooled,
             full_size=args.full_size, max_batch=args.max_batch,
+            transfer_dtype=np.float16 if args.transfer_dtype else None,
+            rss_budget_mb_per_h=args.rss_budget_mb_per_h,
         )
     )
     slim = {k: v for k, v in report.items() if k != "rss_series"}
