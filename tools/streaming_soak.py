@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -293,6 +294,113 @@ def build_service(n_channels: int, window: int, pooled: bool = False):
     return svc, reg, scheduler
 
 
+async def client_sessions(
+    port: int,
+    sessions: int,
+    t_end: float,
+    n_channels: int,
+    window: int,
+    *,
+    t0: float | None = None,
+):
+    """Drive ``sessions`` device connections against a running soak server
+    until ``t_end``; returns (counters, latencies) with latencies as
+    (elapsed-seconds, utterance-ms) pairs.  Runs either in the server
+    process (legacy mode) or as the body of the isolated client process."""
+    import websockets
+
+    from imagined_speech_translation_tpu.runtime.protocol import (
+        BinaryFrame,
+        encode_binary_frame,
+    )
+
+    t0 = time.time() if t0 is None else t0
+    counters = {
+        "frames_sent": 0, "utterances": 0, "errors": 0, "text_cmds": 0,
+    }
+    latencies: list[tuple[float, float]] = []
+
+    async def session_loop(s_idx: int):
+        s_rng = np.random.default_rng(s_idx)
+        # loopback soak: keepalive pings off — a long decode compile or a
+        # co-tenant hogging the core must not read as a dead peer
+        async with websockets.connect(
+            f"ws://127.0.0.1:{port}", max_size=None,
+            ping_interval=None, ping_timeout=None,
+        ) as ws:
+            await ws.send(f"authentication¬soak-token-{s_idx}")
+            reply = await ws.recv()
+            key = json.loads(reply.split("¬")[2])
+            last_end = [time.time()]
+
+            async def reader():
+                async for msg in ws:
+                    if isinstance(msg, str):
+                        if msg.startswith("utterance"):
+                            counters["utterances"] += 1
+                            latencies.append(
+                                (time.time() - t0,
+                                 (time.time() - last_end[0]) * 1e3)
+                            )
+                        elif msg.startswith("error"):
+                            counters["errors"] += 1
+                            if counters["errors"] < 5:
+                                print("ERR:", msg[:200], flush=True)
+
+            rtask = asyncio.create_task(reader())
+            i = 0
+            while time.time() < t_end:
+                chunk = s_rng.normal(
+                    0, 1, (n_channels, window // 2)
+                ).astype(np.float32)
+                await ws.send(
+                    encode_binary_frame(
+                        BinaryFrame("eeg", key, chunk.tobytes())
+                    )
+                )
+                counters["frames_sent"] += 1
+                i += 1
+                if i % 16 == 0:  # utterance boundary every 8 windows
+                    last_end[0] = time.time()
+                    await ws.send(
+                        encode_binary_frame(BinaryFrame("eeg_end", key, b""))
+                    )
+                if i % 64 == 0:
+                    await ws.send(f"speak¬{key}¬soak check {i}")
+                    counters["text_cmds"] += 1
+                # keep the AGGREGATE frame rate constant as sessions scale
+                await asyncio.sleep(0.02 * sessions)
+            # drain
+            await ws.send(encode_binary_frame(BinaryFrame("eeg_end", key, b"")))
+            await asyncio.sleep(1.0)
+            rtask.cancel()
+
+    await asyncio.gather(*(session_loop(i) for i in range(sessions)))
+    return counters, latencies
+
+
+def _client_main(argv) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--_client", action="store_true")
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--sessions", type=int, required=True)
+    ap.add_argument("--minutes", type=float, required=True)
+    ap.add_argument("--channels", type=int, required=True)
+    ap.add_argument("--window", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    a = ap.parse_args(argv)
+    counters, latencies = asyncio.run(
+        client_sessions(
+            a.port, a.sessions, time.time() + a.minutes * 60.0,
+            a.channels, a.window,
+        )
+    )
+    Path(a.out).write_text(
+        json.dumps({"counters": counters, "latencies": latencies})
+    )
+    return 0
+
+
 async def soak(
     minutes: float,
     out_dir: Path,
@@ -304,6 +412,7 @@ async def soak(
     cfg=None,
     transfer_dtype=None,
     rss_budget_mb_per_h: float = 32.0,
+    isolate_clients: bool = False,
 ) -> dict:
     import websockets
 
@@ -329,101 +438,82 @@ async def soak(
     rss: list[tuple[float, float]] = []
 
     async def handler(ws):
-        async for message in ws:
-            if isinstance(message, bytes):
-                try:
-                    texts = await svc.handle_binary(message)
-                    for t in texts:
+        import websockets as _ws
+
+        try:
+            async for message in ws:
+                if isinstance(message, bytes):
+                    try:
+                        texts = await svc.handle_binary(message)
+                        for t in texts:
+                            await ws.send(
+                                encode_text_frame(
+                                    TextFrame("utterance", "", (t,))
+                                )
+                            )
+                    except Exception as e:  # noqa: BLE001 - counted, not fatal
                         await ws.send(
-                            encode_text_frame(TextFrame("utterance", "", (t,)))
+                            encode_text_frame(
+                                TextFrame("error", "stream", (str(e),))
+                            )
                         )
-                except Exception as e:  # noqa: BLE001 - counted, not fatal
-                    await ws.send(
-                        encode_text_frame(TextFrame("error", "stream", (str(e),)))
-                    )
-            else:
-                await ws.send(await svc.handle_text(message))
+                else:
+                    await ws.send(await svc.handle_text(message))
+        except _ws.exceptions.ConnectionClosed:
+            pass  # client hung up mid-reply (drain) — not a soak error
 
     t_end = time.time() + minutes * 60.0
     t0 = time.time()
 
-    first_key = [None]
+    async def rss_sampler():
+        while time.time() < t_end:
+            rss.append((time.time() - t0, _rss_mb()))
+            await asyncio.sleep(10.0)
+        rss.append((time.time() - t0, _rss_mb()))
 
-    async def session_loop(s_idx: int):
-        """One device connection streaming for the whole soak."""
-        s_rng = np.random.default_rng(s_idx)
-        # loopback soak: keepalive pings off — a long decode compile or a
-        # co-tenant hogging the core must not read as a dead peer
-        async with websockets.connect(
-            f"ws://127.0.0.1:{port}", max_size=None,
-            ping_interval=None, ping_timeout=None,
-        ) as ws:
-            await ws.send(f"authentication¬soak-token-{s_idx}")
-            reply = await ws.recv()
-            key = json.loads(reply.split("¬")[2])
-            if s_idx == 0:
-                first_key[0] = key
+    async def run_clients_inproc():
+        c, lat = await client_sessions(
+            port, sessions, t_end, n_channels, window, t0=t0
+        )
+        counters.update(c)
+        latencies.extend(lat)
 
-            last_end = [time.time()]
+    async def run_clients_subproc():
+        """Load generation in its OWN process: the client loops do not
+        share the server's event loop or GIL — utterance latency then
+        measures the SERVER, not client starvation (and matches the real
+        topology, where devices are remote peers)."""
+        import subprocess
+        import sys
+        import tempfile
 
-            async def reader():
-                async for msg in ws:
-                    if isinstance(msg, str):
-                        if msg.startswith("utterance"):
-                            counters["utterances"] += 1
-                            latencies.append(
-                                (time.time() - t0,
-                                 (time.time() - last_end[0]) * 1e3)
-                            )
-                        elif msg.startswith("error"):
-                            counters["errors"] += 1
-                            if counters["errors"] < 5:
-                                print("ERR:", msg[:200], flush=True)
+        out = tempfile.NamedTemporaryFile(suffix=".json", delete=False)
+        out.close()
+        proc = await asyncio.create_subprocess_exec(
+            sys.executable, os.path.abspath(__file__), "--_client",
+            "--port", str(port), "--sessions", str(sessions),
+            "--minutes", str(minutes), "--channels", str(n_channels),
+            "--window", str(window), "--out", out.name,
+        )
+        rc = await proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"client process failed rc={rc}")
+        payload = json.loads(Path(out.name).read_text())
+        os.unlink(out.name)
+        counters.update(payload["counters"])
+        latencies.extend(tuple(x) for x in payload["latencies"])
 
-            rtask = asyncio.create_task(reader())
-            next_sample = t0
-            i = 0
-            while time.time() < t_end:
-                chunk = s_rng.normal(
-                    0, 1, (n_channels, window // 2)
-                ).astype(np.float32)
-                await ws.send(
-                    encode_binary_frame(
-                        BinaryFrame("eeg", key, chunk.tobytes())
-                    )
-                )
-                counters["frames_sent"] += 1
-                i += 1
-                if i % 16 == 0:  # utterance boundary every 8 windows
-                    last_end[0] = time.time()
-                    await ws.send(
-                        encode_binary_frame(BinaryFrame("eeg_end", key, b""))
-                    )
-                if i % 64 == 0:
-                    await ws.send(f"speak¬{key}¬soak check {i}")
-                    counters["text_cmds"] += 1
-                if s_idx == 0 and time.time() >= next_sample:
-                    rss.append((time.time() - t0, _rss_mb()))
-                    next_sample += 10.0
-                # keep the AGGREGATE frame rate constant as sessions scale
-                await asyncio.sleep(0.02 * sessions)
-            # drain
-            await ws.send(encode_binary_frame(BinaryFrame("eeg_end", key, b"")))
-            await asyncio.sleep(1.0)
-            rtask.cancel()
-
-    async def run_clients():
-        await asyncio.gather(*(session_loop(i) for i in range(sessions)))
-
+    run_clients = run_clients_subproc if isolate_clients else run_clients_inproc
     async with websockets.serve(
         handler, "127.0.0.1", port, ping_interval=None
     ):
+        sampler = asyncio.create_task(rss_sampler())
         if scheduler is not None:
             async with scheduler:
                 await run_clients()
         else:
             await run_clients()
-    key = first_key[0]
+        sampler.cancel()
 
     # ---- analysis ----------------------------------------------------
     dur_s = time.time() - t0
@@ -482,8 +572,8 @@ async def soak(
         "pipeline_latency": (
             scheduler.stats()
             if scheduler is not None
-            else svc._pipelines[key].latency.summary()
-            if key in svc._pipelines
+            else next(iter(svc._pipelines.values())).latency.summary()
+            if svc._pipelines
             else None
         ),
     }
@@ -505,6 +595,8 @@ async def soak(
 
 
 def main():
+    if "--_client" in sys.argv:
+        return _client_main(sys.argv[1:])
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=120.0)
     ap.add_argument("--out", default="runs/soak")
@@ -528,6 +620,11 @@ def main():
         help="half-precision host->device wire for --full-size decode",
     )
     ap.add_argument(
+        "--isolate-clients", action="store_true",
+        help="run the load-generating sessions in their own process so "
+        "utterance latency measures the server, not client starvation",
+    )
+    ap.add_argument(
         "--rss-budget-mb-per-h", type=float, default=32.0,
         help="RSS-slope pass budget; raise ONLY with an attributed "
         "transport leak (see rss_growth_per_h2d_mb in the report)",
@@ -540,6 +637,7 @@ def main():
             full_size=args.full_size, max_batch=args.max_batch,
             transfer_dtype=np.float16 if args.transfer_dtype else None,
             rss_budget_mb_per_h=args.rss_budget_mb_per_h,
+            isolate_clients=args.isolate_clients,
         )
     )
     slim = {k: v for k, v in report.items() if k != "rss_series"}
