@@ -65,18 +65,41 @@ ECHO_CODEBOOK = (
     (0, 0, 0), (1, 1, 1),   # pair 3
 )
 ECHO_LAG = 64        # anchor->echo offset, >> conv receptive field (25)
-ECHO_ANCHOR_LEN = 24
-ECHO_ECHO_LEN = 28   # longer envelope: content distinguishes echo from anchor
+ECHO_ANCHOR_LEN = 32
+# per-slot echo envelope: slots 0/2 mirror the anchor EXACTLY (ordering is
+# positional-only -> provably sealed from position-blind pooling); slot 1's
+# echo is longer (content-ordered -> readable without positions)
+ECHO_ECHO_LENS = (32, 48, 32)
+# per-slot XOR bit: only slot 1 is XOR-masked.  Slots 0/2 carry the split
+# bit directly — their ordered-sign code is unreadable without positions
+# anyway, and the direct per-region correlation gives gradient descent a
+# bootstrap path (the round-4 pilot showed the fully-XORed code is
+# information-theoretically right but not FOUND by SGD); slot 1's mask
+# keeps the content-ordered slot's weak pooled-statistic leak XOR-masked
+# so cnn_only cannot ride it.
+ECHO_XOR_SLOTS = (False, True, False)
 # carrier per slot (Hz); slots 0 and 2 SHARE one so their identity is
-# positional, slot 1 is content-labelled.  Kept below the 36-60 Hz
-# pair-signature band so signature energy can't contaminate the carriers.
-ECHO_FREQS = (26.0, 18.0, 26.0)
+# positional, slot 1 is content-labelled.  Low carriers make phase visible
+# as waveform shape inside the conv receptive field; all below the 36-60
+# Hz pair-signature band.
+ECHO_FREQS = (15.0, 9.0, 15.0)
 
 
 def echo_layout(n_timepoints: int) -> list[tuple[int, int]]:
     """Per-slot (anchor_start, echo_start) for echo mode at this T."""
     stride = (n_timepoints - 40) // 3
     return [(20 + j * stride, 20 + j * stride + ECHO_LAG) for j in range(3)]
+
+
+def _echo_slot_bits(code, xi_bits, n_regions, splits):
+    """Per-slot per-region bit array b(r, j) from the class codeword."""
+    out = []
+    for j, c in enumerate(code):
+        _, grp_b = splits[c]
+        in_b = np.zeros(n_regions, dtype=int)
+        in_b[list(grp_b)] = 1
+        out.append(in_b ^ int(xi_bits[j]))
+    return out
 
 
 def make_synthetic_corpus(
@@ -159,27 +182,35 @@ def make_synthetic_corpus(
       Reading b needs the SIGNED anchor×echo comparison at a 64-sample
       lag, i.e. position-aware cross-time products: the in-region token
       attention's QKᵀ (ablated by ``cnn_only``);
-    * b(r,j) = ξ(j) XOR split(class,j)(r), with ξ(j) a fresh random bit
-      per sample/slot: each region's lag-phase alone is coin-flip noise;
-      only BETWEEN-region comparison (b(r)⊕b(r') cancels ξ) reveals the
-      class's 2v2 split — the fusion / cross-region attention's job;
-    * slots 0 and 2 share a carrier and one class pair's codewords are
-      slot-0/2 reverses of each other, so that pair is distinguishable
-      only by WHERE the splits occur (positional embeddings), while the
-      other three pairs are content-separable — removing pos-emb costs
-      a little, matching the paper's small Table-24 drop;
+    * slots 0/2: echo envelope IDENTICAL to the anchor, so anchor/echo are
+      distinguishable only by POSITION — without positional embeddings the
+      network is permutation-equivariant past the conv stem (RF < gap) and
+      provably cannot order the pair; b(r,j) = split(class,j)(r) directly
+      (no XOR): a single region's lag-sign correlates with the class, the
+      gradient-descent bootstrap path (a fully XOR-masked code is
+      information-theoretically identical but was never FOUND by SGD in
+      the round-4 pilots);
+    * slot 1: echo envelope LONGER than the anchor (content-ordered, so a
+      position-blind attention model can still read it) but XOR-masked by
+      a fresh random bit ξ per sample — reading it needs BETWEEN-region
+      comparison (b(r)⊕b(r') cancels ξ), and the content asymmetry's weak
+      pooled-statistic leak stays class-uncorrelated region-locally;
+    * pair 0's codewords differ ONLY in slots 0/2 (slot-1 code equal), so
+      that pair needs the position-ordered slots — removing pos-emb costs
+      one pair of eight, matching the paper's small Table-24 drop, while
+      cnn_only (no in-region attention at all) reads NO slot;
     * a 0.3-probability corrupted region (signal dropped, extra noise)
       rewards dynamic region gating over uniform weights.
 
-    Requires ``n_timepoints >= 320``.
+    Requires ``n_timepoints >= 384``.
     """
     relational = class_conditioned == "relational"
     coupled = class_conditioned == "coupled"
     echo = class_conditioned == "echo"
     if (relational or coupled or echo) and montage_labels is None:
         raise ValueError("relational/coupled/echo mode needs montage_labels")
-    if echo and n_timepoints < 320:
-        raise ValueError("echo mode needs n_timepoints >= 320")
+    if echo and n_timepoints < 384:
+        raise ValueError("echo mode needs n_timepoints >= 384")
     out_dir = Path(data_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -306,7 +337,7 @@ def make_synthetic_corpus(
                 sig = signatures[k_text // 2].copy()[0]  # (C, T) pair-local
                 code = ECHO_CODEBOOK[k_text % len(ECHO_CODEBOOK)]
                 for j, (a0, e0) in enumerate(echo_slots):
-                    xi = int(rng.integers(0, 2))
+                    xi = int(rng.integers(0, 2)) if ECHO_XOR_SLOTS[j] else 0
                     _, grp_b = CPL_SPLITS[code[j]]
                     in_b = np.zeros(n_regions, dtype=int)
                     in_b[list(grp_b)] = 1
@@ -314,15 +345,16 @@ def make_synthetic_corpus(
                     # ordered-sign code: echo leads (+π/2) or trails (−π/2)
                     delta = np.pi / 2.0 * (1 - 2 * b_bits)  # (n_regions,)
                     f_c = ECHO_FREQS[j]
+                    e_len = ECHO_ECHO_LENS[j]
                     theta = rng.uniform(0, 2 * np.pi, n_regions)
                     # per-burst amplitude jitter smears order statistics
                     # (max pooling) without touching the phase code
                     amp_a = rng.uniform(0.8, 1.2, n_regions)
                     amp_e = rng.uniform(0.8, 1.2, n_regions)
                     ta = np.arange(ECHO_ANCHOR_LEN) / 256.0
-                    te = np.arange(ECHO_ECHO_LEN) / 256.0
+                    te = np.arange(e_len) / 256.0
                     wa = np.hanning(ECHO_ANCHOR_LEN)
-                    we = np.hanning(ECHO_ECHO_LEN)
+                    we = np.hanning(e_len)
                     anchors = amp_a[:, None] * wa[None] * np.sin(
                         2 * np.pi * f_c * ta[None] + theta[:, None]
                     )  # (n_regions, ECHO_ANCHOR_LEN)
@@ -331,10 +363,10 @@ def make_synthetic_corpus(
                         + theta[:, None] + delta[:, None]
                     )
                     sig[mapped, a0:a0 + ECHO_ANCHOR_LEN] += (
-                        2.5 * anchors[region_of[mapped]]
+                        4.5 * anchors[region_of[mapped]]
                     )
-                    sig[mapped, e0:e0 + ECHO_ECHO_LEN] += (
-                        2.5 * echoes[region_of[mapped]]
+                    sig[mapped, e0:e0 + e_len] += (
+                        4.5 * echoes[region_of[mapped]]
                     )
                 # corrupted region (p=0.3): signal dropped, 3× noise —
                 # dynamic region gating must learn to suppress it

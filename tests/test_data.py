@@ -440,7 +440,7 @@ def test_echo_corpus_class_coding(tmp_path):
         DEFAULT_TEXTS,
         ECHO_ANCHOR_LEN,
         ECHO_CODEBOOK,
-        ECHO_ECHO_LEN,
+        ECHO_ECHO_LENS,
         ECHO_FREQS,
         echo_layout,
         make_synthetic_corpus,
@@ -508,28 +508,35 @@ def test_echo_corpus_class_coding(tmp_path):
     blind = np.concatenate([flat, cross], 1)
     per_pair(blind, 0.72, lambda a, t: a <= t)  # member ~ chance
     # per-channel spectral magnitudes: the pair signature (36-60 Hz
-    # per-channel mix) is region-locally easy...
+    # per-channel mix) is region-locally easy.  NOTE: full-window |FFT|
+    # is NOT member-blind — the anchor/echo coherent pair leaves
+    # interference fringes |1 + e^{i(δ−2πfL)}| whose sign-dependence a
+    # GLOBAL-receptive-field quadratic can read.  That adversary is
+    # outside the ablated model class (the conv stem's RF is 25 < lag
+    # 64 and no ablated variant has a pre-pooling global-RF path), so
+    # the sealed claim — and assertion (a) above — is for pooled LOCAL
+    # features.
     spec = np.abs(np.fft.rfft(X[:, region_of >= 0], axis=-1)).reshape(
         len(y), -1
     )
     assert centroid_acc(spec, pair) > 0.9
-    per_pair(spec, 0.72, lambda a, t: a <= t)  # ...but member-blind too
 
     # ---- ordered lag-product demodulation --------------------------------
     wa = np.hanning(ECHO_ANCHOR_LEN)
-    we = np.hanning(ECHO_ECHO_LEN)
     ta = np.arange(ECHO_ANCHOR_LEN) / 256.0
-    te = np.arange(ECHO_ECHO_LEN) / 256.0
     ims = np.zeros((len(y), 3, 4))  # Im(conj(z_anchor) z_echo) per slot/region
     for j, (a0, e0) in enumerate(slots):
+        e_len = ECHO_ECHO_LENS[j]
+        we = np.hanning(e_len)
+        te = np.arange(e_len) / 256.0
         fa = wa * np.exp(-2j * np.pi * ECHO_FREQS[j] * ta)
         fe = we * np.exp(-2j * np.pi * ECHO_FREQS[j] * te)
         za = (R[:, :, a0:a0 + ECHO_ANCHOR_LEN] * fa).sum(-1)
-        ze = (R[:, :, e0:e0 + ECHO_ECHO_LEN] * fe).sum(-1)
+        ze = (R[:, :, e0:e0 + e_len] * fe).sum(-1)
         ims[:, j] = np.imag(np.conj(za) * ze)
 
-    # (b) any single region alone is coin-flip noise (per-slot XOR bit)
-    per_pair(ims[:, :, 0], 0.72, lambda a, t: a <= t)
+    # (b) the XOR-masked slot: any single region alone is coin-flip noise
+    per_pair(ims[:, 1:2, 0], 0.72, lambda a, t: a <= t)
 
     # (c) cross-region comparison: magnitude-weighted split scoring
     SPLITS = (((0, 1), (2, 3)), ((0, 2), (1, 3)), ((0, 3), (1, 2)))
