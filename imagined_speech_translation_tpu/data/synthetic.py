@@ -78,11 +78,21 @@ ECHO_ECHO_LENS = (32, 48, 32)
 # keeps the content-ordered slot's weak pooled-statistic leak XOR-masked
 # so cnn_only cannot ride it.
 ECHO_XOR_SLOTS = (False, True, False)
-# carrier per slot (Hz); slots 0 and 2 SHARE one so their identity is
-# positional, slot 1 is content-labelled.  Low carriers make phase visible
-# as waveform shape inside the conv receptive field; all below the 36-60
-# Hz pair-signature band.
-ECHO_FREQS = (15.0, 9.0, 15.0)
+# base carrier per slot (Hz); all far below the 36-60 Hz pair-signature
+# band and mutually distinguishable by an RF-25 conv feature.
+ECHO_FREQS = (8.0, 6.0, 8.0)
+# alternate carrier for the ORDERED CARRIER-PAIR slots (0 and 2): the
+# anchor takes one of {base, alt} and the echo takes the other — WHICH
+# comes first is the bit.  The unordered burst multiset {base-burst,
+# alt-burst} is identical for both bit values, so pooled local features,
+# order statistics (max pooling), and even global magnitude spectra (no
+# coherent cross-terms between distinct carriers) are all blind; reading
+# the bit needs position-aware comparison, and a conv stem + positional
+# attention learns it as "which frequency sits at the anchor position" —
+# a frequency-detector + linear readout, the most SGD-natural form of the
+# order code (phase-quadrature codes were never found by SGD in pilots).
+# Slot 1 (alt=None) keeps the ±π/2 phase code instead.
+ECHO_ALT_FREQS = (16.0, None, 16.0)
 
 
 def echo_layout(n_timepoints: int) -> list[tuple[int, int]]:
@@ -342,26 +352,44 @@ def make_synthetic_corpus(
                     in_b = np.zeros(n_regions, dtype=int)
                     in_b[list(grp_b)] = 1
                     b_bits = in_b ^ xi
-                    # ordered-sign code: echo leads (+π/2) or trails (−π/2)
-                    delta = np.pi / 2.0 * (1 - 2 * b_bits)  # (n_regions,)
                     f_c = ECHO_FREQS[j]
+                    f_alt = ECHO_ALT_FREQS[j]
                     e_len = ECHO_ECHO_LENS[j]
-                    theta = rng.uniform(0, 2 * np.pi, n_regions)
                     # per-burst amplitude jitter smears order statistics
-                    # (max pooling) without touching the phase code
+                    # (max pooling) without touching the order code
                     amp_a = rng.uniform(0.8, 1.2, n_regions)
                     amp_e = rng.uniform(0.8, 1.2, n_regions)
                     ta = np.arange(ECHO_ANCHOR_LEN) / 256.0
                     te = np.arange(e_len) / 256.0
                     wa = np.hanning(ECHO_ANCHOR_LEN)
                     we = np.hanning(e_len)
-                    anchors = amp_a[:, None] * wa[None] * np.sin(
-                        2 * np.pi * f_c * ta[None] + theta[:, None]
-                    )  # (n_regions, ECHO_ANCHOR_LEN)
-                    echoes = amp_e[:, None] * we[None] * np.sin(
-                        2 * np.pi * f_c * te[None]
-                        + theta[:, None] + delta[:, None]
-                    )
+                    if f_alt is not None:
+                        # ordered carrier-pair code: anchor carrier = alt
+                        # iff b, echo takes the other; phases i.i.d.
+                        th_a = rng.uniform(0, 2 * np.pi, n_regions)
+                        th_e = rng.uniform(0, 2 * np.pi, n_regions)
+                        fa = np.where(b_bits == 1, f_alt, f_c)
+                        fe = np.where(b_bits == 1, f_c, f_alt)
+                        anchors = amp_a[:, None] * wa[None] * np.sin(
+                            2 * np.pi * fa[:, None] * ta[None]
+                            + th_a[:, None]
+                        )
+                        echoes = amp_e[:, None] * we[None] * np.sin(
+                            2 * np.pi * fe[:, None] * te[None]
+                            + th_e[:, None]
+                        )
+                    else:
+                        # ordered-sign phase code: echo leads (+π/2) or
+                        # trails (−π/2) the anchor's carrier phase
+                        delta = np.pi / 2.0 * (1 - 2 * b_bits)
+                        theta = rng.uniform(0, 2 * np.pi, n_regions)
+                        anchors = amp_a[:, None] * wa[None] * np.sin(
+                            2 * np.pi * f_c * ta[None] + theta[:, None]
+                        )
+                        echoes = amp_e[:, None] * we[None] * np.sin(
+                            2 * np.pi * f_c * te[None]
+                            + theta[:, None] + delta[:, None]
+                        )
                     sig[mapped, a0:a0 + ECHO_ANCHOR_LEN] += (
                         4.5 * anchors[region_of[mapped]]
                     )

@@ -438,6 +438,7 @@ def test_echo_corpus_class_coding(tmp_path):
     from imagined_speech_translation_tpu.data.regions import ELECTRODE_REGIONS
     from imagined_speech_translation_tpu.data.synthetic import (
         DEFAULT_TEXTS,
+        ECHO_ALT_FREQS,
         ECHO_ANCHOR_LEN,
         ECHO_CODEBOOK,
         ECHO_ECHO_LENS,
@@ -487,7 +488,10 @@ def test_echo_corpus_class_coding(tmp_path):
     # ---- (a) position-blind pooled conv bank + cross-region products ----
     tt = np.arange(25) / 256.0
     filts = []
-    for f_hz in sorted(set(ECHO_FREQS)):
+    bank_freqs = sorted(
+        set(ECHO_FREQS) | {f for f in ECHO_ALT_FREQS if f is not None}
+    )
+    for f_hz in bank_freqs:
         w = np.hanning(25)
         filts.append(w * np.cos(2 * np.pi * f_hz * tt))
         filts.append(w * np.sin(2 * np.pi * f_hz * tt))
@@ -521,37 +525,49 @@ def test_echo_corpus_class_coding(tmp_path):
     )
     assert centroid_acc(spec, pair) > 0.9
 
-    # ---- ordered lag-product demodulation --------------------------------
+    # ---- position-aware ordered readout -----------------------------------
+    # per slot/region a SIGNED statistic whose sign is b(r, j):
+    # * carrier-pair slots (alt freq set): alt-band energy at the anchor
+    #   window minus at the echo window ("which carrier came first");
+    # * phase slot: Im(conj(z_anchor) z_echo) of the quadrature demod.
     wa = np.hanning(ECHO_ANCHOR_LEN)
     ta = np.arange(ECHO_ANCHOR_LEN) / 256.0
-    ims = np.zeros((len(y), 3, 4))  # Im(conj(z_anchor) z_echo) per slot/region
+    stat = np.zeros((len(y), 3, 4))
     for j, (a0, e0) in enumerate(slots):
         e_len = ECHO_ECHO_LENS[j]
         we = np.hanning(e_len)
         te = np.arange(e_len) / 256.0
-        fa = wa * np.exp(-2j * np.pi * ECHO_FREQS[j] * ta)
-        fe = we * np.exp(-2j * np.pi * ECHO_FREQS[j] * te)
-        za = (R[:, :, a0:a0 + ECHO_ANCHOR_LEN] * fa).sum(-1)
-        ze = (R[:, :, e0:e0 + e_len] * fe).sum(-1)
-        ims[:, j] = np.imag(np.conj(za) * ze)
+        if ECHO_ALT_FREQS[j] is not None:
+            fa = wa * np.exp(-2j * np.pi * ECHO_ALT_FREQS[j] * ta)
+            fe = we * np.exp(-2j * np.pi * ECHO_ALT_FREQS[j] * te)
+            ea = np.abs((R[:, :, a0:a0 + ECHO_ANCHOR_LEN] * fa).sum(-1))
+            ee = np.abs((R[:, :, e0:e0 + e_len] * fe).sum(-1))
+            stat[:, j] = ea - ee  # >0: alt carrier anchored first (b=1)
+        else:
+            fa = wa * np.exp(-2j * np.pi * ECHO_FREQS[j] * ta)
+            fe = we * np.exp(-2j * np.pi * ECHO_FREQS[j] * te)
+            za = (R[:, :, a0:a0 + ECHO_ANCHOR_LEN] * fa).sum(-1)
+            ze = (R[:, :, e0:e0 + e_len] * fe).sum(-1)
+            stat[:, j] = -np.imag(np.conj(za) * ze)
 
     # (b) the XOR-masked slot: any single region alone is coin-flip noise
-    per_pair(ims[:, 1:2, 0], 0.72, lambda a, t: a <= t)
+    per_pair(stat[:, 1:2, 0], 0.72, lambda a, t: a <= t)
 
-    # (c) cross-region comparison: magnitude-weighted split scoring
+    # (c) cross-region split scoring over the signed statistics
     SPLITS = (((0, 1), (2, 3)), ((0, 2), (1, 3)), ((0, 3), (1, 2)))
-    sgn, w = np.sign(ims), np.abs(ims)
+    sgn, w = np.sign(stat), np.abs(stat)
     correct = 0
     for i in range(len(y)):
         class_scores = np.zeros(len(ECHO_CODEBOOK))
         slot_scores = np.zeros((3, 3))
         for j in range(3):
             for c, (ga, gb) in enumerate(SPLITS):
-                pred = np.ones(4)
-                pred[list(gb)] = -1.0
+                pred = -np.ones(4)
+                pred[list(gb)] = 1.0  # group B carries b=1
                 agree = (sgn[i, j] * pred * w[i, j]).sum()
-                slot_scores[j, c] = abs(agree)  # max over the XOR bit ξ
+                # XOR-masked slot: sign convention unknown per sample
+                slot_scores[j, c] = abs(agree) if j == 1 else agree
         for k, code in enumerate(ECHO_CODEBOOK):
             class_scores[k] = sum(slot_scores[j, code[j]] for j in range(3))
         correct += int(np.argmax(class_scores) == y[i])
-    assert correct / len(y) >= 0.95, f"lag readout acc {correct / len(y)}"
+    assert correct / len(y) >= 0.95, f"ordered readout acc {correct / len(y)}"
