@@ -36,6 +36,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tools.train_proof import build_corpus, run_stage  # noqa: E402
 
+
+def _n_corpus_texts() -> int:
+    from imagined_speech_translation_tpu.data.synthetic import DEFAULT_TEXTS
+
+    return len(DEFAULT_TEXTS)
+
 # (name, paper label, paper BLEU-1, overrides)
 VARIANTS = [
     ("full", "Ours (full)", 49.6, []),
@@ -89,11 +95,65 @@ def summarize_run(out_dir: Path) -> dict:
         "best_bleu4": round(
             max(r.get("val/bleu_4", 0.0) for r in val), 3
         ) if val else 0.0,
+        # sequence accuracy: % of val samples whose decoded text matches the
+        # reference exactly — the collapse-robust "did it read the code"
+        # measurement (round-4 verdict: report member-bit/sequence accuracy
+        # alongside BLEU)
+        "best_em": round(
+            max(r.get("val/exact_match", 0.0) for r in val), 3
+        ) if val else 0.0,
+        "final_em": round(val[-1].get("val/exact_match", 0.0), 3) if val else 0.0,
         "final_diversity": round(
             val[-1].get("val/diversity_score", 0.0), 3
         ) if val else 0.0,
+        # unique-prediction diversity saturates at n_classes/n_eval on a
+        # class-conditioned corpus: with 8 texts and 64 eval samples, even a
+        # PERFECT decoder scores 0.125 — the reference's 0.3 collapse gate is
+        # unsatisfiable here, so report the cap next to the score
+        "diversity_cap": round(
+            _n_corpus_texts() / val[-1]["val/total_predictions"], 3
+        ) if val and val[-1].get("val/total_predictions") else None,
         "n_evals": len(val),
     }
+
+
+def compute_verdict(results: dict) -> dict:
+    """Derive the ordering verdict FROM the results (round-4 verdict item 6:
+    the table's claim must be generated from its rows, not hand-written).
+
+    Checks, per metric (BLEU-1 and exact-match):
+    * ``full_beats_all``: full >= every ablation;
+    * ``cnn_family_bottom``: the two lowest scores are the CNN-family
+      variants (paper Table 24's bottom rows).
+    """
+    verdicts = {}
+    for metric in ("best_bleu1", "best_em"):
+        if "full" not in results:
+            continue
+        full = results["full"][metric]
+        others = {n: r[metric] for n, r in results.items() if n != "full"}
+        if not others:
+            continue
+        max_abl_name = max(others, key=others.get)
+        ranked = sorted(results, key=lambda n: results[n][metric])
+        full_beats_all = all(full >= v for v in others.values())
+        cnn_bottom = set(ranked[:2]) == {"cnn_only_region", "pure_cnn"}
+        reproduced = full_beats_all and cnn_bottom
+        verdicts[metric] = {
+            "reproduced": reproduced,
+            "full": full,
+            "max_ablation": {max_abl_name: others[max_abl_name]},
+            "ranking_low_to_high": ranked,
+            "line": (
+                f"ordering ({metric}): "
+                + ("REPRODUCED" if reproduced else "INVERTED")
+                + f" — full {full} vs max-ablation "
+                f"{others[max_abl_name]} ({max_abl_name}); "
+                f"CNN-family at bottom: {cnn_bottom} "
+                f"(lowest two: {ranked[:2]})"
+            ),
+        }
+    return verdicts
 
 
 def main():
@@ -183,62 +243,73 @@ def main():
         shutil.rmtree(run_dir / "checkpoints", ignore_errors=True)
         (out_root / "results.json").write_text(json.dumps(results, indent=2))
 
-    # ---- table ------------------------------------------------------------
+    # ---- verdict + table ----------------------------------------------------
+    # The verdict is COMPUTED from the rows (round-4 verdict item 6b): the
+    # prose below describes the corpus design only; the ordering claim is
+    # the generated REPRODUCED/INVERTED line, which a reader can check
+    # against the table directly.
+    verdicts = compute_verdict(results)
+    payload = {"results": results, "verdict": verdicts, "regime": {
+        "epochs": args.epochs, "hidden": args.hidden,
+        "timepoints": args.timepoints,
+        "samples_per_file": args.samples_per_file,
+    }}
+    (out_root / "results.json").write_text(json.dumps(payload, indent=2))
     lines = [
-        "# Ablation sweep (synthetic corpus, cli/train.py, "
-        f"{args.epochs} epochs)",
+        "# Ablation sweep (echo synthetic corpus, cli/train.py, "
+        f"{args.epochs} epochs, hidden {args.hidden}, T={args.timepoints})",
         "",
-        "Paper Table 24 gives the real-data orderings; this sweep reproduces",
-        "them DIRECTIONALLY on the echo synthetic corpus: class pairs share",
-        "a region-local spectral signature (easy half); the pair member is",
-        "coded by the SIGN of each region's anchor->echo ±π/2 lag-64 phase",
-        "offset, XOR-randomized per slot.  Position-blind pooled statistics",
-        "are provably blind to the sign and single regions are coin-flip",
-        "noise (probe: pooled conv bank + cross-region products -> chance;",
-        "ordered lagged readout -> ~100%), so the member needs in-region",
-        "token attention + cross-region integration.  30% of samples corrupt",
-        "one region (3x noise), rewarding dynamic gating.  Expected: full",
-        "beats",
-        "every ablation; CNN-only and pure CNN at the bottom.  From-scratch",
-        "LRs (bart/projection 3e-4) — the reference's 3e-5 BART LR assumes a",
-        "pretrained decoder.",
+        "Paper Table 24 gives the real-data orderings (full model beats every",
+        "ablation; CNN-only and pure-CNN rows at the bottom).  This sweep",
+        "tests whether the same orderings emerge on the echo synthetic",
+        "corpus: class pairs share a region-local spectral signature (the",
+        "easy half, readable by any conv stem); the pair MEMBER is coded by",
+        "per-slot anchor/echo burst ordering at a 64-sample lag (beyond the",
+        "conv receptive field 25), with positional-only slots (0/2) and one",
+        "XOR-masked content-ordered slot (1), so reading the member needs",
+        "in-region token attention + cross-region integration (probe:",
+        "tests/test_data.py pooled conv bank -> chance; ordered lagged",
+        "readout -> ~100%).  30% of samples corrupt one region (3x noise),",
+        "rewarding dynamic gating.  From-scratch LRs (bart/projection 3e-4):",
+        "the reference's 3e-5 BART LR assumes a pretrained decoder.",
+        "",
+        "Exact-match = sequence accuracy (decoded text == reference), the",
+        "collapse-robust measurement.  NOTE on diversity: unique/total",
+        "saturates at n_texts/n_eval on this corpus (cap in the last",
+        "column) — even a perfect decoder cannot reach the reference's 0.3",
+        "collapse gate here, so `is_repetitive` is uninformative at this",
+        "eval size.",
+        "",
+        "## Verdict (generated from the rows below)",
+        "",
+    ]
+    for v in verdicts.values():
+        lines.append(f"* {v['line']}")
+    lines += [
         "",
         "| variant | paper BLEU-1 | synth best BLEU-1 | synth best BLEU-4 |"
-        " loss first→last | diversity |",
-        "|---|---|---|---|---|---|",
+        " best exact-match % | loss first→last | diversity (cap) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
         lines.append(
             f"| {r['label']} | {r['paper_bleu1']} | {r['best_bleu1']} |"
-            f" {r['best_bleu4']} | {r['first_loss']}→{r['last_loss']} |"
-            f" {r['final_diversity']} |"
+            f" {r['best_bleu4']} | {r['best_em']} |"
+            f" {r['first_loss']}→{r['last_loss']} |"
+            f" {r['final_diversity']} ({r['diversity_cap']}) |"
         )
     (out_root / "TABLE.md").write_text("\n".join(lines) + "\n")
-    print(json.dumps(results, indent=2))
+    print(json.dumps(payload, indent=2))
 
     if not args.only and not args.no_assert:
         # Directional reproduction of paper Table 24 on the echo corpus
-        # (round-3 verdict item 4): full beats EVERY ablation, and the two
-        # CNN-family variants land at the bottom.  The echo corpus makes
-        # this enforceable: the member bit is an ordered-sign lag code that
-        # permutation-invariant pooling provably cannot read, so CNN-family
-        # variants (no in-region token attention, receptive field 25 < lag
-        # 64) cannot ride a pooled-feature shortcut to the top the way they
-        # could on the relational and coupled corpora.
+        # (round-3 verdict item 4), asserted via the SAME computation that
+        # wrote the table's verdict line.
         assert all(r["last_loss"] < r["first_loss"] for r in results.values()), (
             "some variant failed to train"
         )
-        full = results["full"]["best_bleu1"]
-        for name, r in results.items():
-            if name == "full":
-                continue
-            assert full >= r["best_bleu1"], (
-                f"ablation {name} beat full: {r['best_bleu1']} > {full}"
-            )
-        ranked = sorted(results, key=lambda n: results[n]["best_bleu1"])
-        assert set(ranked[:2]) == {"cnn_only_region", "pure_cnn"}, (
-            f"CNN-family variants not at the bottom: {ranked}"
-        )
+        for metric in ("best_bleu1", "best_em"):
+            assert verdicts[metric]["reproduced"], verdicts[metric]["line"]
         bleus = [r["best_bleu1"] for r in results.values()]
         assert max(bleus) - min(bleus) > 5.0, (
             "ablation variants produced undifferentiated outcomes"
