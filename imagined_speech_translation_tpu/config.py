@@ -106,6 +106,19 @@ class RegionEncoderConfig:
     # no running stats; SURVEY.md §7 hard part 5 parity flag)
     norm: str = "batch"
     groupnorm_groups: int = 8
+    # Window context parallelism: shard the token-attention TIME axis over
+    # ``seq_shards`` devices on the ``seq_axis`` mesh axis, routing every
+    # in-region attention (the 3 MHA layers + the cross-scale attention)
+    # through ``parallel.context.ring_attention``.  The token sequence is
+    # zero-padded to a shard multiple with a key-validity mask, so the math
+    # is identical to the single-device path.  Requires the caller to
+    # expose the mesh via ``parallel.context.context_mesh(mesh)`` around
+    # model init/apply.  1 = off (the default single-chip flash path).
+    # NOTE: the ring path applies no attention-prob dropout (the flash
+    # kernel's in-kernel PRNG does, on the single-chip path); other
+    # dropouts are unaffected.
+    seq_shards: int = 1
+    seq_axis: str = "seq"
 
 
 @_frozen()
@@ -380,6 +393,10 @@ class Config:
             raise ValueError("conv_channels/conv_kernels length mismatch")
         if len(r.attn_heads) != r.num_attn_layers:
             raise ValueError("attn_heads must have num_attn_layers entries")
+        if r.seq_shards < 1:
+            raise ValueError("seq_shards must be >= 1")
+        if r.seq_shards > 1 and r.cnn_only:
+            raise ValueError("seq_shards>1 needs the token-attention path")
         if self.training.optimizer.warmup_steps < 0:
             raise ValueError("warmup_steps must be >= 0")
         if self.training.rng_impl not in ("rbg", "threefry2x32", "unsafe_rbg"):

@@ -74,6 +74,11 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     out_features: int | None = None
+    # >1 routes through parallel.context.ring_attention: q/k/v sharded on
+    # the ``seq_axis`` mesh axis of the mesh installed by ``context_mesh``.
+    # Window context parallelism — see RegionEncoderConfig.seq_shards.
+    seq_shards: int = 1
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(
@@ -84,6 +89,7 @@ class MultiHeadAttention(nn.Module):
         *,
         deterministic: bool = True,
         cache=None,
+        kv_valid=None,
     ):
         kv_in = q_in if kv_in is None else kv_in
         d = self.out_features or q_in.shape[-1]
@@ -106,6 +112,32 @@ class MultiHeadAttention(nn.Module):
             v = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, idx, 0))
             new_cache = {"k": k, "v": v, "index": idx + q_in.shape[-2]}
 
+        if self.seq_shards > 1:
+            if cache is not None or mask is not None:
+                raise ValueError(
+                    "seq_shards>1 supports only the self/cross-encoder "
+                    "pattern (no KV cache, no attention mask)"
+                )
+            from ..parallel.context import get_context_mesh, ring_attention
+
+            mesh = get_context_mesh()
+            if mesh is None:
+                raise RuntimeError(
+                    "seq_shards>1 requires the mesh: wrap model init/apply "
+                    "tracing in parallel.context.context_mesh(mesh)"
+                )
+            # ring path: no attention-prob dropout (documented contract in
+            # parallel/context.py); other dropouts are unaffected
+            out = ring_attention(
+                q, k, v, mesh=mesh, axis=self.seq_axis, kv_valid=kv_valid
+            )
+            out = out.swapaxes(-3, -2).reshape(
+                out.shape[:-3] + (q_in.shape[-2], d)
+            )
+            return nn.Dense(d, name="out_proj")(out)
+
+        if kv_valid is not None:
+            raise ValueError("kv_valid is only used on the seq_shards>1 path")
         use_drop = (not deterministic) and self.dropout > 0.0
         if use_drop:
             # attention-prob dropout rides the flash kernel on TPU (in-kernel
@@ -257,17 +289,34 @@ class RegionConvAttentionEncoder(nn.Module):
                 reps = x.shape[1] // seq_len + 1
                 x = x + jnp.tile(pos, (1, reps, 1))[:, : x.shape[1]]
 
+        # window context parallelism (seq_shards > 1): zero-pad the token
+        # sequence to a shard multiple and exclude the padded KEYS from
+        # every softmax via kv_valid — identical math, sharded time axis
+        # (parallel/context.py).  Padded rows ride the residual stream as
+        # garbage but are never attended to and never pooled (pooling reads
+        # tokens 0..n_special-1 only).
+        n_cp = cfg.seq_shards
+        kv_valid = None
+        if n_cp > 1:
+            true_len = x.shape[1]
+            pad = (-true_len) % n_cp
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            kv_valid = jnp.arange(x.shape[1]) < true_len
+        cp_kw = dict(seq_shards=n_cp, seq_axis=cfg.seq_axis)
+
         # single shared cross-scale attention module reused by every layer
         # (reference keeps one ``self.cross_scale_attn``, layers.py:98-103)
         cross_scale_attn = MultiHeadAttention(
-            cfg.attn_heads[0] // 2, dropout=0.1, name="cross_scale_attn"
+            cfg.attn_heads[0] // 2, dropout=0.1, name="cross_scale_attn",
+            **cp_kw,
         )
         states = []
         for i in range(cfg.num_attn_layers):
             a = nn.LayerNorm(epsilon=1e-5, name=f"attn{i}_norm")(x)
             a = MultiHeadAttention(
-                cfg.attn_heads[i], dropout=0.1, name=f"attn{i}"
-            )(a, deterministic=det)
+                cfg.attn_heads[i], dropout=0.1, name=f"attn{i}", **cp_kw
+            )(a, deterministic=det, kv_valid=kv_valid)
             x = x + dropout(a, drop_light)
             states.append(x)
             f = nn.LayerNorm(epsilon=1e-5, name=f"ffn{i}_norm")(x)
@@ -278,7 +327,9 @@ class RegionConvAttentionEncoder(nn.Module):
             if i > 0:
                 # cross-scale attention to the pre-FFN state of the previous
                 # layer (layers.py:244-251)
-                cross = cross_scale_attn(x, states[-2], deterministic=det)
+                cross = cross_scale_attn(
+                    x, states[-2], deterministic=det, kv_valid=kv_valid
+                )
                 x = x + cfg.cross_scale_weight * cross
 
         cls_feat = x[:, 0]

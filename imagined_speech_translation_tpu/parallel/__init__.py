@@ -6,7 +6,11 @@ batch sharded over ``data`` (gradient all-reduce emerges from the global-mean
 semantics under jit), optional tensor parallelism of the BART FFN/attention
 over ``model``, XLA inserting the collectives."""
 
-from .context import ring_attention  # noqa: F401
+from .context import (  # noqa: F401
+    context_mesh,
+    get_context_mesh,
+    ring_attention,
+)
 from .distributed import (  # noqa: F401
     initialize_distributed,
     is_primary,

@@ -91,3 +91,110 @@ def test_ring_attention_validates_divisibility(rng):
     q, k, v = _qkv(rng, s=100)
     with pytest.raises(ValueError, match="not divisible"):
         ring_attention(q, k, v, mesh=mesh)
+
+
+def test_ring_attention_kv_valid_matches_unpadded_oracle(rng):
+    """Key-validity masking: S=100 padded to 104 over 4 shards must equal
+    the UNPADDED single-device attention on the 100 true rows — the
+    contract the region encoder's padding path relies on."""
+    mesh = _mesh((4,), ("seq",))
+    true_s = 100
+    q, k, v = _qkv(rng, s=true_s)
+    pad = (-true_s) % 4
+    qp, kp, vp = (
+        jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) for x in (q, k, v)
+    )
+    kv_valid = jnp.arange(true_s + pad) < true_s
+    out = ring_attention(qp, kp, vp, mesh=mesh, kv_valid=kv_valid)
+    ref = dot_product_attention(q, k, v, impl="jnp")
+    np.testing.assert_allclose(
+        np.asarray(out[:, :, :true_s]), np.asarray(ref), atol=2e-5
+    )
+    assert np.isfinite(np.asarray(out)).all()  # padded q rows stay finite
+
+
+def test_ring_attention_kv_valid_gradients(rng):
+    """Reverse-mode AD through the masked ring: padding must contribute
+    exactly zero gradient and true rows must match the unpadded oracle."""
+    mesh = _mesh((4,), ("seq",))
+    true_s = 60
+    q, k, v = _qkv(rng, s=true_s, h=2, d=16)
+    pad = (-true_s) % 4
+    w = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kv_valid = jnp.arange(true_s + pad) < true_s
+
+    def loss_ring(q, k, v):
+        qp, kp, vp = (
+            jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            for x in (q, k, v)
+        )
+        return (
+            ring_attention(qp, kp, vp, mesh=mesh, kv_valid=kv_valid) * wp
+        ).sum()
+
+    def loss_ref(q, k, v):
+        return (dot_product_attention(q, k, v, impl="jnp") * w).sum()
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# model-level consumer: RegionEncoderConfig.seq_shards (round-4 verdict 5)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_brain_cfg(seq_shards: int):
+    from imagined_speech_translation_tpu.config import (
+        BrainEncoderConfig,
+        RegionEncoderConfig,
+    )
+
+    return BrainEncoderConfig(
+        hidden_dim=32, fusion_heads=4, cross_region_heads=4,
+        region_encoder=RegionEncoderConfig(
+            conv_channels=(8, 12, 16, 24, 32),
+            attn_heads=(4, 2, 2), se_reduction=4,
+            seq_shards=seq_shards,
+        ),
+    )
+
+
+def test_region_encoder_forward_context_parallel_identity(rng):
+    """END-TO-END consumer test: the full BrainRegionEncoder forward with
+    ``seq_shards=4`` on a {data:2, seq:4} mesh equals the single-device
+    forward with the SAME params.  T=33 → 37 tokens (not a shard multiple),
+    so the padding + kv_valid path is exercised, not just the op."""
+    from imagined_speech_translation_tpu.models import BrainRegionEncoder
+    from imagined_speech_translation_tpu.parallel import context_mesh
+
+    t = 33  # 33 + 4 special tokens = 37: pads to 40 over 4 shards
+    eeg = jnp.asarray(rng.normal(size=(2, 4, 16, t)), jnp.float32)
+    mask = np.zeros((4, 16), bool)
+    for r, c in enumerate((16, 9, 11, 12)):
+        mask[r, :c] = True
+    mask = jnp.asarray(mask)
+
+    oracle = BrainRegionEncoder(_tiny_brain_cfg(1))
+    variables = oracle.init(jax.random.key(0), eeg, mask)
+    ref = oracle.apply(variables, eeg, mask)
+
+    mesh = _mesh((2, 4), ("data", "seq"))
+    sharded_model = BrainRegionEncoder(_tiny_brain_cfg(4))
+    with context_mesh(mesh):
+        out = jax.jit(
+            lambda v, e, m: sharded_model.apply(v, e, m)
+        )(variables, eeg, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_region_encoder_seq_shards_requires_context_mesh(rng):
+    from imagined_speech_translation_tpu.models import BrainRegionEncoder
+
+    eeg = jnp.asarray(rng.normal(size=(1, 4, 16, 12)), jnp.float32)
+    model = BrainRegionEncoder(_tiny_brain_cfg(4))
+    with pytest.raises(RuntimeError, match="context_mesh"):
+        model.init(jax.random.key(0), eeg)
