@@ -310,6 +310,12 @@ class TrainingConfig:
     diversity_improvement: float = 0.1
     bleu_tolerance_frac: float = 0.9  # secondary selection path
     collapse_tolerance: int = 3       # repetitive-collapse counter (trainer.py:400-443)
+    # Evaluate (beam decode + metrics) every N epochs instead of every one
+    # (reference evaluates per epoch, trainer.py:387-443; at T=1651 the
+    # beam-decode eval can dominate short-epoch wall time, e.g. the
+    # ablation sweeps).  Patience counts EVAL rounds, not epochs.  The
+    # final epoch always evaluates.
+    eval_interval_epochs: int = 1
     log_every_steps: int = 50
     # bf16 compute with float32 master params/optimizer state.  Divergence
     # from the reference (config.yaml `mixed_precision: false`): bf16 is the

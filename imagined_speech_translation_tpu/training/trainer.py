@@ -422,6 +422,16 @@ class EEGTrainer:
                 state, train_loss = self.train_epoch(
                     state, epoch, start_window=start_window
                 )
+                # eval cadence: every eval_interval_epochs + the final epoch
+                # (patience/adaptive-weights/best-model logic all key off
+                # eval rounds, so they simply tick at this cadence too)
+                if (
+                    (epoch + 1) % tc.eval_interval_epochs != 0
+                    and epoch != tc.num_epochs - 1
+                ):
+                    if (epoch + 1) % tc.checkpoint.save_interval_epochs == 0:
+                        self.ckpt.save_epoch(state, epoch, self._meta(epoch, {}))
+                    continue
                 val = self.evaluate(state, epoch=epoch)
                 self.mlog.log(
                     {

@@ -234,6 +234,47 @@ def test_trainer_epoch_and_eval(tmp_path):
     assert trainer.best_bleu4 == 10.0
 
 
+def test_trainer_eval_interval(tmp_path):
+    """``eval_interval_epochs=2``: evaluate fires on epochs 1, 3 and the
+    final epoch only; patience ticks per EVAL round (the round-4 ablation
+    sweep was hard-stopped at exactly ``patience`` epochs because the
+    diversity-gated improvement check can never fire on a class-conditioned
+    corpus — the cadence knob plus a non-binding patience is the fix)."""
+    import dataclasses
+
+    tok = tiny_tokenizer()
+    cfg = tiny_config(tok.vocab_size)
+    cfg = dataclasses.replace(
+        cfg,
+        training=dataclasses.replace(
+            cfg.training,
+            num_epochs=5,
+            eval_interval_epochs=2,
+            patience=99,
+        ),
+    )
+    ds = build_dataset(tmp_path, tok, cfg, n_files=2, samples_per_file=6)
+    bow = get_top_k_vocab_indices(tok, cfg.training.loss.bow_vocab_size)
+    trainer = EEGTrainer(
+        cfg, ds, tok,
+        bow_indices=bow,
+        train_indices=np.arange(8),
+        val_indices=np.arange(8, 12),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    state = trainer.init_state(jax.random.key(0))
+    calls = {"train": [], "eval": []}
+    trainer.train_epoch = lambda s, epoch, start_window=0: (
+        calls["train"].append(epoch) or (s, 0.5)
+    )
+    trainer.evaluate = lambda s, epoch=0: calls["eval"].append(epoch) or {
+        "bleu_4": 0.0, "diversity_score": 0.0, "is_repetitive": True,
+    }
+    trainer.train(state)
+    assert calls["train"] == [0, 1, 2, 3, 4]
+    assert calls["eval"] == [1, 3, 4]  # every 2nd + the final epoch
+
+
 def test_bf16_grad_accum_close_to_f32(setup, tmp_path):
     # guard for training.grad_accum_dtype="bfloat16": the accumulated
     # gradient must stay close to the f32-master accumulation, and a full

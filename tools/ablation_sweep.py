@@ -169,6 +169,11 @@ def main():
     )
     ap.add_argument("--samples-per-file", type=int, default=64)
     ap.add_argument(
+        "--eval-every", type=int, default=1,
+        help="beam-decode eval every N epochs (eval dominates short-epoch "
+        "wall time at T=1651)",
+    )
+    ap.add_argument(
         "--no-assert", action="store_true",
         help="table only — skip the ordering asserts (pilot runs)",
     )
@@ -223,9 +228,18 @@ def main():
             "--set", "training.optimizer.bart_lr=3e-4",
             "--set", "training.optimizer.projection_lr=3e-4",
             "--set", "training.optimizer.warmup_steps=60",
-            "--set", "training.checkpoint.save_interval_epochs=100",
+            "--set", "training.checkpoint.save_interval_epochs=1000",
             "--set", "training.log_every_steps=8",
-            "--set", "training.patience=30",
+            # patience must NOT bind inside the sweep: check_improvement
+            # gates on diversity >= 0.3 and not-is_repetitive, both
+            # unsatisfiable on a class-conditioned corpus (diversity caps at
+            # n_texts/n_eval), so the counter ticks EVERY eval and a finite
+            # patience hard-stops every variant at exactly `patience` evals
+            # while still improving (the round-4 sweep's collapsed regime:
+            # all variants cut at epoch 30 mid-rise).  Each variant gets the
+            # same fixed epoch budget instead.
+            "--set", f"training.patience={args.epochs + 1}",
+            "--set", f"training.eval_interval_epochs={args.eval_every}",
             "--set", f"training.num_epochs={args.epochs}",
         ]
         for ov in extra:
