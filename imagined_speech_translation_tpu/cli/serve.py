@@ -133,6 +133,91 @@ def build_decode_fn(
     return decode_fn
 
 
+def build_decode_fn_from_args(
+    *,
+    vocab: str,
+    montage: str,
+    config: str | None = None,
+    checkpoint: str | None = None,
+    random_init: bool = False,
+    data_parallel: int = 0,
+    compute_dtype: str | None = None,
+    transfer_dtype: str | None = None,
+    max_batch: int = 1,
+    platform: str | None = None,
+):
+    """Build + WARM the full serving decode_fn from picklable args.
+
+    Every device-touching step lives here (backend init, weight init or
+    checkpoint restore, jit, warmup) so the whole build can run either
+    inline in the server process or inside a ``runtime.worker.DecodeWorker``
+    child — in worker mode the server process never claims the device and
+    its RSS stays flat under the tunnel-transport leak (round-4 soak
+    attribution; see runtime/worker.py).
+    """
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import replace_nested
+    from ..data import ChineseCharTokenizer
+    from ..data.regions import RegionSpec, load_montage
+    from ..models import EEGDecodingModel
+    from ..utils.cache import enable_persistent_cache
+    from .train import load_config
+
+    enable_persistent_cache()
+    cfg = load_config(config, None)
+    tokenizer = ChineseCharTokenizer.from_vocab_file(vocab)
+    if tokenizer.vocab_size != cfg.model.bart.vocab_size:
+        cfg = replace_nested(cfg, "model.bart.vocab_size", tokenizer.vocab_size)
+    spec = RegionSpec.from_channel_names(load_montage(montage))
+    T = cfg.data.n_timepoints
+
+    model = EEGDecodingModel(cfg.model)
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((1, len(spec.region_names), spec.max_channels, T), jnp.float32),
+        jnp.zeros((1, 4), jnp.int32),
+        jnp.asarray(spec.channel_mask),
+    )
+    if checkpoint and not random_init:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(checkpoint)
+        # accept either bare model params or a full train-state tree
+        params = restored.get("params", restored)
+        if "model" in params:
+            params = params["model"]
+        variables = {
+            "params": params,
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        logger.info("loaded checkpoint %s", checkpoint)
+    else:
+        logger.warning("serving with random weights (smoke mode)")
+
+    mesh = None
+    if data_parallel > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(data_parallel, 1)
+        logger.info("decode mesh: %s", dict(mesh.shape))
+    decode_fn = build_decode_fn(
+        cfg, tokenizer, spec, variables, mesh=mesh,
+        compute_dtype=jnp.dtype(compute_dtype) if compute_dtype else None,
+        transfer_dtype=np.dtype(transfer_dtype) if transfer_dtype else None,
+    )
+    n_ch = int(spec.gather_indices.max() + 1)
+    logger.info("warming up the decode program...")
+    decode_fn(np.zeros((max(1, max_batch), n_ch, T), np.float32))
+    logger.info("decode program ready")
+    return decode_fn
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--montage", required=True)
@@ -170,23 +255,18 @@ def main(argv=None):
         help="host->device wire dtype for raw windows; float16 halves "
         "transfer bytes (upcast to float32 on-device before the IIR)",
     )
+    ap.add_argument(
+        "--decode-worker-budget-mb", type=float, default=0.0,
+        help="run the decode program in a CHILD process recycled when its "
+        "RSS crosses this budget (runtime/worker.py) — bounds server memory "
+        "under the remote-tunnel per-transfer leak; 0 = in-process decode",
+    )
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
-
-    import jax
-    import jax.numpy as jnp
-
-    from ..utils.cache import enable_persistent_cache
-    enable_persistent_cache()
 
     from .train import load_config
     from ..data import ChineseCharTokenizer
     from ..data.regions import RegionSpec, load_montage
-    from ..models import EEGDecodingModel
     from ..runtime import (
         DecodePipeline,
         RingBuffer,
@@ -197,53 +277,41 @@ def main(argv=None):
     from ..runtime.server import WssService
     from ..config import replace_nested
 
+    if args.data_parallel > 1 and args.max_batch % args.data_parallel:
+        ap.error("--max-batch must be divisible by --data-parallel")
+
+    # host-only context the SERVER needs (no device touched here)
     cfg = load_config(args.config, None)
     tokenizer = ChineseCharTokenizer.from_vocab_file(args.vocab)
     if tokenizer.vocab_size != cfg.model.bart.vocab_size:
         cfg = replace_nested(cfg, "model.bart.vocab_size", tokenizer.vocab_size)
     spec = RegionSpec.from_channel_names(load_montage(args.montage))
     T = cfg.data.n_timepoints
-
-    model = EEGDecodingModel(cfg.model)
-    B0 = 1
-    variables = jax.jit(model.init)(
-        jax.random.key(0),
-        jnp.zeros((B0, len(spec.region_names), spec.max_channels, T), jnp.float32),
-        jnp.zeros((B0, 4), jnp.int32),
-        jnp.asarray(spec.channel_mask),
-    )
-    if args.checkpoint and not args.random_init:
-        import orbax.checkpoint as ocp
-
-        restored = ocp.StandardCheckpointer().restore(args.checkpoint)
-        # accept either bare model params or a full train-state tree
-        params = restored.get("params", restored)
-        if "model" in params:
-            params = params["model"]
-        variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
-        logger.info("loaded checkpoint %s", args.checkpoint)
-    else:
-        logger.warning("serving with random weights (smoke mode)")
-
-    mesh = None
-    if args.data_parallel > 1:
-        if args.max_batch % args.data_parallel:
-            ap.error("--max-batch must be divisible by --data-parallel")
-        from ..parallel import make_mesh
-
-        mesh = make_mesh(args.data_parallel, 1)
-        logger.info("decode mesh: %s", dict(mesh.shape))
-    decode_fn = build_decode_fn(
-        cfg, tokenizer, spec, variables, mesh=mesh,
-        compute_dtype=jnp.dtype(args.compute_dtype) if args.compute_dtype else None,
-        transfer_dtype=np.dtype(args.transfer_dtype) if args.transfer_dtype else None,
-    )
-
     n_ch = spec.gather_indices.max() + 1  # raw montage channels expected
 
-    logger.info("warming up the decode program...")
-    decode_fn(np.zeros((max(1, args.max_batch), int(n_ch), T), np.float32))
-    logger.info("decode program ready")
+    fargs = dict(
+        vocab=args.vocab, montage=args.montage, config=args.config,
+        checkpoint=args.checkpoint, random_init=args.random_init,
+        data_parallel=args.data_parallel, compute_dtype=args.compute_dtype,
+        transfer_dtype=args.transfer_dtype, max_batch=args.max_batch,
+        platform=args.platform,
+    )
+    worker = None
+    if args.decode_worker_budget_mb > 0:
+        from ..runtime.worker import DecodeWorker
+
+        worker = DecodeWorker(
+            functools.partial(build_decode_fn_from_args, **fargs),
+            rss_budget_mb=args.decode_worker_budget_mb,
+        )
+        worker.start()  # spawns the child, builds + warms the program there
+        decode_fn = worker
+    else:
+        if args.platform:
+            import jax
+
+            jax.config.update("jax_platforms", args.platform)
+        decode_fn = build_decode_fn_from_args(**fargs)
 
     scheduler = None
     if args.max_batch > 1:
@@ -281,10 +349,16 @@ def main(argv=None):
 
     @registry.command("latency")
     async def latency(session, a):
+        out = {}
         if scheduler is not None:
-            return {"pooled": scheduler.stats()}
-        pipes = service._pipelines
-        return {k: p.latency.summary() for k, p in pipes.items()}
+            out["pooled"] = scheduler.stats()
+        else:
+            out.update(
+                {k: p.latency.summary() for k, p in service._pipelines.items()}
+            )
+        if worker is not None:
+            out["decode_worker"] = worker.stats()
+        return out
 
     service = WssService(
         registry,
@@ -302,7 +376,11 @@ def main(argv=None):
         else:
             await service.serve(args.host, args.port)
 
-    asyncio.run(amain())
+    try:
+        asyncio.run(amain())
+    finally:
+        if worker is not None:
+            worker.stop()
 
 
 if __name__ == "__main__":

@@ -62,3 +62,27 @@ def test_full_size_soak_short(tmp_path):
     assert report["full_size"] is True
     assert report["errors"] == 0 and report["utterances"] > 0
     assert report["pipeline_latency"]["mean_fill"] >= 1.0
+    # derived verdict fields (round-4 verdict 6c): computed from the rows
+    assert report["latency_stable"] in (True, False)
+    assert report["rss_bounded"] in (True, False)
+
+
+def test_full_size_soak_with_decode_worker(tmp_path):
+    """--decode-worker-budget-mb: the decode program runs in a recycled
+    CHILD process (runtime/worker.py) and still serves utterances through
+    the pooled scheduler end-to-end; the report carries worker stats and
+    the child RSS series."""
+    from tools.streaming_soak import soak
+
+    report = asyncio.run(
+        soak(
+            0.15, Path(tmp_path), 41883, sessions=2, pooled=True,
+            full_size=True, max_batch=4, cfg=_tiny_cfg(),
+            worker_budget_mb=1e6,  # no recycle inside a seconds-scale run
+        )
+    )
+    assert report["ok"], report
+    assert report["errors"] == 0 and report["utterances"] > 0
+    assert report["decode_worker"]["calls"] > 0
+    assert report["decode_worker"]["recycles"] == 0
+    assert report["child_rss_max_mb"] and report["child_rss_max_mb"] > 0

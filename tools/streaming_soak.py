@@ -39,24 +39,10 @@ def _rss_mb() -> float:
     return float("nan")
 
 
-def build_full_size_service(
-    pooled: bool, max_batch: int, cfg=None, transfer_dtype=None
-):
-    """WssService over the SHIPPED serving path at full size, on the default
-    platform (the TPU chip when present): ``cli/serve.build_decode_fn`` with
-    the default config, BN folding, and bfloat16 compute — the configuration
-    ``cli/serve --max-batch 16 --compute-dtype bfloat16`` deploys.  Random
-    weights (decode timing is weight-independent; the program is identical).
+def _full_size_ctx(cfg=None):
+    """Host-only context (no device touched): cfg, region spec, tokenizer."""
+    import tempfile
 
-    ``cfg`` overrides the model config (tests inject tiny dims; the real
-    soak uses ``default_config()``).
-
-    Returns (service, registry, scheduler, window_length, n_channels).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from imagined_speech_translation_tpu.cli.serve import build_decode_fn
     from imagined_speech_translation_tpu.config import default_config
     from imagined_speech_translation_tpu.data.regions import RegionSpec
     from imagined_speech_translation_tpu.data.synthetic import (
@@ -65,24 +51,9 @@ def build_full_size_service(
     from imagined_speech_translation_tpu.data.tokenizer import (
         ChineseCharTokenizer,
     )
-    from imagined_speech_translation_tpu.models import EEGDecodingModel
-    from imagined_speech_translation_tpu.runtime.batcher import (
-        BatchScheduler,
-        BatchingDecodePipeline,
-    )
-    from imagined_speech_translation_tpu.runtime.server import WssService
-    from imagined_speech_translation_tpu.runtime.session import SessionRegistry
-    from imagined_speech_translation_tpu.runtime.streaming import (
-        DecodePipeline,
-        RingBuffer,
-        ThresholdWakeGate,
-        Windower,
-    )
-    import tempfile
 
     if cfg is None:
         cfg = default_config().validate()
-    window = cfg.data.n_timepoints
     with tempfile.TemporaryDirectory() as td:
         labels = make_synthetic_montage(Path(td) / "montage.csv")
     spec = RegionSpec.from_channel_names(labels)
@@ -98,7 +69,32 @@ def build_full_size_service(
         f"[w{i}]" for i in range(cfg.model.bart.vocab_size - len(base))
     ]
     tok = ChineseCharTokenizer(vocab)
+    return cfg, spec, n_channels, tok
 
+
+def full_size_decode_factory(
+    max_batch: int, cfg=None, transfer_dtype=None, platform=None
+):
+    """Build + WARM the shipped full-size decode_fn (BN-folded, bf16).
+
+    Module-level + picklable args so it can run inside a
+    ``runtime.worker.DecodeWorker`` child — the process that owns the
+    PJRT/tunnel client and its per-transfer leak (round-4 attribution).
+    Random weights: decode timing is weight-independent; the program is
+    identical to what ``cli/serve`` deploys.  ``platform`` pins the jax
+    backend in the child (env vars don't survive the TPU-tunnel site hook).
+    """
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from imagined_speech_translation_tpu.cli.serve import build_decode_fn
+    from imagined_speech_translation_tpu.models import EEGDecodingModel
+
+    cfg, spec, n_channels, tok = _full_size_ctx(cfg)
+    window = cfg.data.n_timepoints
     model = EEGDecodingModel(cfg.model)
     mask = jnp.asarray(spec.channel_mask)
     variables = jax.jit(model.init)(
@@ -115,6 +111,64 @@ def build_full_size_service(
     t0 = time.time()
     decode_fn(np.zeros((max_batch, n_channels, window), np.float32))
     print(f"warmup compile: {time.time() - t0:.1f}s", flush=True)
+    return decode_fn
+
+
+def build_full_size_service(
+    pooled: bool, max_batch: int, cfg=None, transfer_dtype=None,
+    worker_budget_mb: float = 0.0,
+):
+    """WssService over the SHIPPED serving path at full size, on the default
+    platform (the TPU chip when present): ``cli/serve.build_decode_fn`` with
+    the default config, BN folding, and bfloat16 compute — the configuration
+    ``cli/serve --max-batch 16 --compute-dtype bfloat16`` deploys.
+
+    ``cfg`` overrides the model config (tests inject tiny dims; the real
+    soak uses ``default_config()``).  ``worker_budget_mb > 0`` runs the
+    decode program in a recycled child process (``runtime/worker.py``,
+    ``cli/serve --decode-worker-budget-mb``) so the SERVER process never
+    owns the leaky tunnel client.
+
+    Returns (service, registry, scheduler, window_length, n_channels,
+    worker-or-None).
+    """
+    import functools
+
+    from imagined_speech_translation_tpu.runtime.batcher import (
+        BatchScheduler,
+        BatchingDecodePipeline,
+    )
+    from imagined_speech_translation_tpu.runtime.server import WssService
+    from imagined_speech_translation_tpu.runtime.session import SessionRegistry
+    from imagined_speech_translation_tpu.runtime.streaming import (
+        DecodePipeline,
+        RingBuffer,
+        ThresholdWakeGate,
+        Windower,
+    )
+
+    cfg, spec, n_channels, _ = _full_size_ctx(cfg)
+    window = cfg.data.n_timepoints
+    worker = None
+    if worker_budget_mb > 0:
+        import jax
+
+        from imagined_speech_translation_tpu.runtime.worker import DecodeWorker
+
+        # carry THIS process's platform pin into the child (the tunnel site
+        # hook overrides JAX_PLATFORMS env, so env inheritance is not enough)
+        platform = getattr(jax.config, "jax_platforms", None) or None
+        worker = DecodeWorker(
+            functools.partial(
+                full_size_decode_factory, max_batch, cfg, transfer_dtype,
+                platform,
+            ),
+            rss_budget_mb=worker_budget_mb,
+        )
+        worker.start()
+        decode_fn = worker
+    else:
+        decode_fn = full_size_decode_factory(max_batch, cfg, transfer_dtype)
 
     scheduler = None
     if pooled:
@@ -148,7 +202,7 @@ def build_full_size_service(
         return {"spoken": args[0] if args else ""}
 
     svc = WssService(reg, pipeline_factory=pipeline_factory, n_channels=n_channels)
-    return svc, reg, scheduler, window, n_channels
+    return svc, reg, scheduler, window, n_channels, worker
 
 
 def build_service(n_channels: int, window: int, pooled: bool = False):
@@ -413,6 +467,7 @@ async def soak(
     transfer_dtype=None,
     rss_budget_mb_per_h: float = 32.0,
     isolate_clients: bool = False,
+    worker_budget_mb: float = 0.0,
 ) -> dict:
     import websockets
 
@@ -422,10 +477,14 @@ async def soak(
     )
     from imagined_speech_translation_tpu.runtime.protocol import BinaryFrame, TextFrame
 
+    worker = None
     if full_size:
-        svc, reg, scheduler, window, n_channels = build_full_size_service(
-            pooled=pooled, max_batch=max_batch, cfg=cfg,
-            transfer_dtype=transfer_dtype,
+        svc, reg, scheduler, window, n_channels, worker = (
+            build_full_size_service(
+                pooled=pooled, max_batch=max_batch, cfg=cfg,
+                transfer_dtype=transfer_dtype,
+                worker_budget_mb=worker_budget_mb,
+            )
         )
     else:
         n_channels, window = 48, 128
@@ -465,11 +524,22 @@ async def soak(
     t_end = time.time() + minutes * 60.0
     t0 = time.time()
 
+    child_rss: list[tuple[float, float]] = []
+
+    def _sample():
+        rss.append((time.time() - t0, _rss_mb()))
+        if worker is not None and worker._proc is not None:
+            from imagined_speech_translation_tpu.runtime.worker import (
+                _rss_mb as _pid_rss,
+            )
+
+            child_rss.append((time.time() - t0, _pid_rss(worker._proc.pid)))
+
     async def rss_sampler():
         while time.time() < t_end:
-            rss.append((time.time() - t0, _rss_mb()))
+            _sample()
             await asyncio.sleep(10.0)
-        rss.append((time.time() - t0, _rss_mb()))
+        _sample()
 
     async def run_clients_inproc():
         c, lat = await client_sessions(
@@ -576,19 +646,33 @@ async def soak(
             if svc._pipelines
             else None
         ),
+        "decode_worker": worker.stats() if worker is not None else None,
+        "child_rss_max_mb": (
+            round(max(m for _, m in child_rss), 1) if child_rss else None
+        ),
+        "child_rss_series": [
+            (round(t, 1), round(m, 1)) for t, m in child_rss
+        ] or None,
     }
+    # DERIVED verdict booleans (round-4 verdict 6c: the pass claims are
+    # computed from the measurements and surfaced by name, so a commit
+    # message can quote them instead of asserting prose the rows refute)
+    report["latency_stable"] = bool(
+        report["latency_p95_second_half_ms"] is None
+        or report["latency_p95_first_half_ms"] is None
+        or report["latency_p95_second_half_ms"]
+        <= 3.0 * max(report["latency_p95_first_half_ms"], 1.0)
+    )
+    report["rss_bounded"] = bool(slope_mb_per_h < rss_budget_mb_per_h)
     ok = (
         counters["errors"] == 0
         and counters["utterances"] > 0
-        and slope_mb_per_h < rss_budget_mb_per_h
-        and (
-            report["latency_p95_second_half_ms"] is None
-            or report["latency_p95_first_half_ms"] is None
-            or report["latency_p95_second_half_ms"]
-            <= 3.0 * max(report["latency_p95_first_half_ms"], 1.0)
-        )
+        and report["rss_bounded"]
+        and report["latency_stable"]
     )
     report["ok"] = ok
+    if worker is not None:
+        worker.stop()
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "soak_report.json").write_text(json.dumps(report, indent=2))
     return report
@@ -629,6 +713,12 @@ def main():
         help="RSS-slope pass budget; raise ONLY with an attributed "
         "transport leak (see rss_growth_per_h2d_mb in the report)",
     )
+    ap.add_argument(
+        "--decode-worker-budget-mb", type=float, default=0.0,
+        help="full-size mode: run the decode program in a child process "
+        "recycled at this RSS (runtime/worker.py) — the SERVER process "
+        "then stays flat under the tunnel per-transfer leak; 0 = in-process",
+    )
     args = ap.parse_args()
     report = asyncio.run(
         soak(
@@ -638,9 +728,13 @@ def main():
             transfer_dtype=np.float16 if args.transfer_dtype else None,
             rss_budget_mb_per_h=args.rss_budget_mb_per_h,
             isolate_clients=args.isolate_clients,
+            worker_budget_mb=args.decode_worker_budget_mb,
         )
     )
-    slim = {k: v for k, v in report.items() if k != "rss_series"}
+    slim = {
+        k: v for k, v in report.items()
+        if k not in ("rss_series", "child_rss_series")
+    }
     print(json.dumps(slim))
     return 0 if report["ok"] else 1
 
