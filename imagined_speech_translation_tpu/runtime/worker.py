@@ -132,7 +132,15 @@ class DecodeWorker:
             raise RuntimeError(
                 f"decode worker did not come up in {self.start_timeout_s}s"
             )
-        status, payload = parent.recv()
+        try:
+            status, payload = parent.recv()
+        except EOFError:
+            proc.join(5.0)
+            raise RuntimeError(
+                "decode worker died during startup (factory must be a "
+                "picklable module-level callable; __main__ must be a real "
+                f"file under the spawn start method); rc={proc.exitcode}"
+            ) from None
         if status != "ready":
             proc.join(5.0)
             raise RuntimeError(f"decode worker failed to build: {payload}")
