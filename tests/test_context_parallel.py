@@ -191,6 +191,94 @@ def test_region_encoder_forward_context_parallel_identity(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def _encoder_grads(*, shard_batch: bool):
+    """Oracle vs seq_shards=4 gradients on a {data:2, seq:4} mesh; the batch
+    is either sharded over ``data`` (the real CP-training layout) or
+    replicated (the degenerate layout).  Uses its own seeded generator so
+    the data (and hence the float tolerance budget) does not depend on test
+    order through the session-scoped ``rng`` fixture."""
+    from imagined_speech_translation_tpu.models import BrainRegionEncoder
+    from imagined_speech_translation_tpu.parallel import context_mesh
+
+    rng = np.random.default_rng(7)
+    t = 17  # 21 tokens -> pads to 24 over 4 shards
+    eeg = jnp.asarray(rng.normal(size=(2, 4, 16, t)), jnp.float32)
+    mask = np.zeros((4, 16), bool)
+    for r, c in enumerate((16, 9, 11, 12)):
+        mask[r, :c] = True
+    mask = jnp.asarray(mask)
+
+    oracle = BrainRegionEncoder(_tiny_brain_cfg(1))
+    variables = oracle.init(jax.random.key(0), eeg, mask)
+
+    def loss_oracle(params, x):
+        out = oracle.apply({**variables, "params": params}, x, mask)
+        return (out ** 2).sum()
+
+    sharded = BrainRegionEncoder(_tiny_brain_cfg(4))
+
+    def loss_sharded(params, x):
+        out = sharded.apply({**variables, "params": params}, x, mask)
+        return (out ** 2).sum()
+
+    g_ref = jax.grad(loss_oracle)(variables["params"], eeg)
+    mesh = _mesh((2, 4), ("data", "seq"))
+    if shard_batch:
+        eeg = jax.device_put(eeg, NamedSharding(mesh, P("data")))
+    with context_mesh(mesh):
+        g_cp = jax.jit(jax.grad(loss_sharded))(variables["params"], eeg)
+    return g_ref, g_cp
+
+
+def test_region_encoder_context_parallel_gradients():
+    """Training THROUGH the context-sharded encoder: with the batch sharded
+    over ``data`` (the layout every real DPxCP trainer uses), reverse-mode
+    AD of the seq_shards=4 forward equals the single-device gradients --
+    the property that makes CP a training-capable path, not an eval-only
+    one.  Comparison is normalized by the GLOBAL gradient scale, not
+    per-leaf: ``k_proj.bias`` gradients are analytically zero (softmax is
+    invariant to a uniform key-logit shift), so those leaves hold only
+    catastrophic-cancellation residue whose per-leaf relative error is
+    reduction-order luck.  Measured absolute diffs are <6e-4 against a
+    global max ~4e2 (rel ~1.5e-6); a double-count bug (the
+    replicated-batch artifact pinned below) is absdiff ~= leafmax, 3+
+    orders above this tolerance."""
+    g_ref, g_cp = _encoder_grads(shard_batch=True)
+    gscale = max(
+        np.abs(np.asarray(leaf)).max() for leaf in jax.tree.leaves(g_ref)
+    )
+
+    def _check(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-4 * gscale, (
+            f"{jax.tree_util.keystr(path)}: max diff "
+            f"{np.abs(a - b).max():.3e} vs global scale {gscale:.3e}"
+        )
+
+    jax.tree_util.tree_map_with_path(_check, g_ref, g_cp)
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="upstream jax/XLA: with the batch REPLICATED over a mesh axis "
+    "unmentioned by the ring shard_map, the partitioned backward double-"
+    "counts conv-FILTER gradients upstream of the manual region (exactly "
+    "x data-axis-size; conv biases, BN and every attention-side param stay "
+    "correct).  Real CP training shards the batch over data, where "
+    "gradients are exact (test above).  Pinned strictly so a jax upgrade "
+    "that fixes it flips this test and the note can be dropped.",
+)
+def test_region_encoder_cp_gradients_replicated_batch_known_bad():
+    g_ref, g_cp = _encoder_grads(shard_batch=False)
+    a = np.asarray(
+        g_ref["region_encoders"]["stage0_convbn"]["conv"]["kernel"]
+    )
+    b = np.asarray(
+        g_cp["region_encoders"]["stage0_convbn"]["conv"]["kernel"]
+    )
+    scale = max(np.abs(a).max(), 1e-3)
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-5)
+
 def test_region_encoder_seq_shards_requires_context_mesh(rng):
     from imagined_speech_translation_tpu.models import BrainRegionEncoder
 

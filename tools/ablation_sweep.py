@@ -177,6 +177,12 @@ def main():
         "--no-assert", action="store_true",
         help="table only — skip the ordering asserts (pilot runs)",
     )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="keep finished variants from an existing results.json and only "
+        "train the missing ones (the corpus is seeded, so resumed variants "
+        "see identical data)",
+    )
     args = ap.parse_args()
 
     out_root = Path(args.out)
@@ -200,8 +206,16 @@ def main():
     convs = [max(8, h * f // 384) for f in (64, 96, 128, 192, 384)]
 
     results = {}
+    prior_path = out_root / "results.json"
+    if args.resume and prior_path.exists():
+        prior = json.loads(prior_path.read_text())
+        results.update(prior.get("results", prior))
     for name, label, paper_bleu1, extra in VARIANTS:
         if args.only and name not in args.only:
+            continue
+        if args.resume and name in results:
+            print(f"=== ablation: {name} (kept from results.json) ===",
+                  flush=True)
             continue
         run_dir = out_root / name
         if run_dir.exists():
@@ -262,6 +276,7 @@ def main():
     # prose below describes the corpus design only; the ordering claim is
     # the generated REPRODUCED/INVERTED line, which a reader can check
     # against the table directly.
+    results = {n: results[n] for n, *_ in VARIANTS if n in results}
     verdicts = compute_verdict(results)
     payload = {"results": results, "verdict": verdicts, "regime": {
         "epochs": args.epochs, "hidden": args.hidden,
