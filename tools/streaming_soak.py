@@ -164,6 +164,13 @@ def build_full_size_service(
                 platform,
             ),
             rss_budget_mb=worker_budget_mb,
+            # the tunnel transport admits fresh clients slowly after
+            # connection churn (docs/PERFORMANCE.md "known tunnel
+            # limitation"): a cold spawn can sit minutes in its first
+            # device op even with a warm compile cache.  The soak pays
+            # one spawn for the whole run, so wait it out rather than
+            # erroring every utterance for 10 minutes.
+            start_timeout_s=1800.0,
         )
         worker.start()
         decode_fn = worker
